@@ -1,0 +1,99 @@
+"""Span classification: content / boilerplate / media-anchor — fully native.
+
+Boilerpipe/Readability-style page-furniture + link-density rules (the
+north_star's boilerplate stripper; authoritative semantics defined in
+``semantics.classify_span`` and mirrored here as Catalyst higher-order
+function expressions — JVM regex, no Python worker, no shuffle).
+
+Output:
+  clean_spans   — kept spans in reading order, offsets renumbered 0..n-1,
+                  image spans re-kinded to 'media-anchor'
+  blocks_kept   — size(clean_spans)
+  blocks_dropped — size(spans) - blocks_kept
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex flavors of semantics.{PAGE_FURNITURE_RE, NAV_MENU_RE, ...}.
+# Java `rlike` is a substring search; fullmatch patterns keep ^...$.
+PAGE_FURNITURE_JRE = (
+    r"(?i)^\s*("
+    r"page\s+\d+(\s+of\s+\d+)?"
+    r"|\d+\s*/\s*\d+"
+    r"|\d{1,4}"
+    r"|[-_=*•.·]{3,}"
+    r"|(©|\(c\)|copyright)\s.*"
+    r"|all\s+rights\s+reserved.*"
+    r"|confidential(\s+document)?"
+    r"|generated\s+by\s+\S+"
+    r"|downloaded\s+from\s+\S+"
+    r")\s*$"
+)
+NAV_MENU_JRE = r"^\s*[A-Z][\w]{1,14}(\s*[|•]\s*[A-Z][\w]{1,14}){2,}\s*$"
+LINK_TOKEN_JRE = r"(?i)^(https?://\S+|www\.\S+|\S+\.(com|org|net|io|dev|co)(/\S*)?)$"
+CONTACT_LINE_JRE = (
+    r"(?i)(\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+    r"|\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b"
+    r"|\(\d{3}\)\s*\d{3}[-.\s]?\d{4}"
+    r"|linkedin\.com/(in|pub)/[A-Za-z0-9-]+"
+    r"|github\.com/[A-Za-z0-9-]+)"
+)
+
+LINK_DENSITY_THRESHOLD = 0.5
+LINK_DENSITY_MIN_TOKENS = 3
+
+
+def _is_boilerplate(s: Column) -> Column:
+    """Boilerplate predicate for one span struct (non-media)."""
+    text = F.trim(F.coalesce(s["text"], F.lit("")))
+    tokens = F.split(text, r"\s+")
+    n_tokens = F.size(tokens)
+    n_links = F.size(F.filter(tokens, lambda t: t.rlike(LINK_TOKEN_JRE)))
+    link_farm = (n_tokens >= LINK_DENSITY_MIN_TOKENS) & (
+        n_links > n_tokens * LINK_DENSITY_THRESHOLD
+    )
+    return F.when(F.length(text) == 0, F.lit(True)).otherwise(
+        F.when(text.rlike(CONTACT_LINE_JRE), F.lit(False)).otherwise(
+            text.rlike(PAGE_FURNITURE_JRE)
+            | text.rlike(NAV_MENU_JRE)
+            | link_farm
+        )
+    )
+
+
+def _is_media(s: Column) -> Column:
+    return (s["kind"] == "image") | (
+        s["media_ref"].isNotNull() & (s["media_ref"] != "")
+    )
+
+
+def clean_spans_col(spans: Column) -> Column:
+    """Filter boilerplate, re-kind media, renumber offsets (reading order
+    assumed — run operators.layout first)."""
+    kept = F.filter(
+        spans, lambda s: _is_media(s) | ~_is_boilerplate(s)
+    )
+    return F.transform(
+        kept,
+        lambda s, i: F.struct(
+            F.when(_is_media(s), F.lit("media-anchor"))
+            .otherwise(s["kind"])
+            .alias("kind"),
+            F.coalesce(s["text"], F.lit("")).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def classify_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    out = df.withColumn("clean_spans", clean_spans_col(F.col(spans_col)))
+    return (
+        out.withColumn("blocks_kept", F.size("clean_spans"))
+        .withColumn(
+            "blocks_dropped", F.size(F.col(spans_col)) - F.col("blocks_kept")
+        )
+    )

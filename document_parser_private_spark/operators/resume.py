@@ -1,0 +1,112 @@
+"""Per-section resume entity extraction (deterministic regex path).
+
+Mix of native expressions and vectorized pandas UDFs:
+  contact / summary / certifications — pure Catalyst expressions
+  skills / education / experience / projects — pandas UDFs over section
+    text (fuzzy ontology normalization + sequential entry parsing), Arrow
+    batched; the small ontology dims ride inside the UDF closure (at
+    cluster scale they'd be sc.broadcast — same data path, the closure is
+    pickled once per executor).
+
+Zero shuffles: every extraction is doc-local. The alternative
+explode->broadcast-join->groupBy formulation of skill normalization exists
+in operators/normalize.py for relational use; this operator keeps the hot
+path narrow (SURVEY §2.10 U3 short-circuit lives inside the UDF: exact
+dict hit first, fuzzy only on miss).
+
+Reference behavior: entity_extractor.py:49-286 minus NER (SURVEY §7.3
+determinism), certifications from the certifications section (CLI path,
+main.py:121).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import semantics as S
+from ..corpus import SKILLS_ONTOLOGY
+from ..functions.contact import contact_struct
+from ..functions.text import summary_col, split_entries_col
+from ..oracle import build_skill_index
+
+_LOWER, _V2C, _INDEX = build_skill_index(SKILLS_ONTOLOGY)
+
+EDUCATION_TYPE = T.ArrayType(T.StructType([
+    T.StructField("institution", T.StringType()),
+    T.StructField("degree", T.StringType()),
+    T.StructField("field_of_study", T.StringType()),
+    T.StructField("start_date", T.DateType()),
+    T.StructField("end_date", T.DateType()),
+    T.StructField("description", T.StringType()),
+    T.StructField("gpa", T.DoubleType()),
+]))
+EXPERIENCE_TYPE = T.ArrayType(T.StructType([
+    T.StructField("company", T.StringType()),
+    T.StructField("position", T.StringType()),
+    T.StructField("start_date", T.StringType()),
+    T.StructField("end_date", T.StringType()),
+    T.StructField("description", T.StringType()),
+    T.StructField("technologies", T.ArrayType(T.StringType())),
+    T.StructField("duration_months", T.IntegerType()),
+]))
+PROJECTS_TYPE = T.ArrayType(T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("description", T.StringType()),
+    T.StructField("technologies", T.ArrayType(T.StringType())),
+]))
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _skills_udf(text: pd.Series) -> pd.Series:
+    return text.apply(
+        lambda t: S.extract_skills(t or "", _LOWER, _V2C, _INDEX)
+    )
+
+
+@pandas_udf(EDUCATION_TYPE)
+def _education_udf(text: pd.Series) -> pd.Series:
+    return text.apply(lambda t: S.extract_education_entries(t or ""))
+
+
+@pandas_udf(EXPERIENCE_TYPE)
+def _experience_udf(text: pd.Series) -> pd.Series:
+    return text.apply(
+        lambda t: S.extract_experience_entries(
+            t or "",
+            skill_lower_index=_LOWER,
+            skill_var2canon=_V2C,
+            skill_index=_INDEX,
+        )
+    )
+
+
+@pandas_udf(PROJECTS_TYPE)
+def _projects_udf(text: pd.Series) -> pd.Series:
+    return text.apply(
+        lambda t: S.extract_project_entries(
+            t or "",
+            skill_lower_index=_LOWER,
+            skill_var2canon=_V2C,
+            skill_index=_INDEX,
+        )
+    )
+
+
+def extract_resume_op(df: DataFrame, sections_col: str = "sections") -> DataFrame:
+    sec = F.col(sections_col)
+    return (
+        df.withColumn("contact", contact_struct(sec["contact"]))
+        .withColumn("summary", summary_col(F.coalesce(sec["summary"], F.lit(""))))
+        .withColumn("skills", _skills_udf(sec["skills"]))
+        .withColumn("education", _education_udf(sec["education"]))
+        .withColumn("experience", _experience_udf(sec["experience"]))
+        .withColumn("projects", _projects_udf(sec["projects"]))
+        .withColumn(
+            "certifications",
+            split_entries_col(F.coalesce(sec["certifications"], F.lit(""))),
+        )
+    )

@@ -1,0 +1,1088 @@
+"""Deterministic reference-semantics core (pure Python, no Spark).
+
+This module is the single source of truth for the *per-document* sequential
+logic that cannot be a Catalyst expression: the section-detection FSM, the
+block classifier, date parsing, and the normalizer chains. It is consumed
+from two places:
+
+  1. ``oracle.py`` — the golden-fixture generator used by the tests, and
+  2. the vectorized pandas-UDF operators (``operators/sections.py`` etc.),
+     which call these functions per document while Arrow batches documents
+     across the partition.
+
+Everything here is a from-scratch reimplementation of the *behavior* of the
+reference pipeline (amos-maganyane/document-parser-private); citations point
+at the behavior being mirrored:
+
+  - section FSM            -> reference parsing_engine/section_detector.py:31-107
+  - heading match + retry  -> reference parsing_engine/section_detector.py:109-133
+  - date-pattern inference -> reference parsing_engine/section_detector.py:151-161
+  - heading classifier     -> reference parsing_engine/pdf_parser.py:215-219
+  - date normalization     -> reference normalization/date_normalizer.py:33-144
+                              (deterministic subset: no dateparser; 'Present'
+                              pinned to an explicit ``as_of`` date)
+  - skills/degrees/titles  -> reference normalization/{skill,education,
+                              experience}_normalizer.py (regex chains +
+                              fuzzy fallback; fuzzy scorer reimplemented
+                              below from the public token_set_ratio /
+                              indel-similarity definitions)
+  - PII hash/mask/token    -> reference parsing_engine/pii_handler.py:43-104
+                              (regex recognizers only; no presidio)
+
+Determinism contract: no wall clock, no randomness, no model inference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from datetime import date
+from typing import Optional
+
+AS_OF = date(2025, 7, 11)  # pinned replacement for date.today() ("Present")
+
+# ---------------------------------------------------------------------------
+# Section detection (FSM) — behavior of section_detector.py
+# ---------------------------------------------------------------------------
+
+SECTION_NAMES = (
+    "contact",
+    "summary",
+    "skills",
+    "education",
+    "experience",
+    "projects",
+    "certifications",
+)
+
+# Pattern sets mirroring config/parsing_rules.yaml:1-113 (searched, not
+# anchored unless the pattern anchors itself; IGNORECASE).
+SECTION_PATTERNS: dict[str, tuple[str, ...]] = {
+    "contact": (
+        r"contact\s*information",
+        r"personal\s*details",
+        r"^\d{3}[-\s]?\d{3}[-\s]?\d{4}",
+        r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$",
+        r"^linkedin\.com/in/[\w-]+$",
+        r"^github\.com/[\w-]+$",
+    ),
+    "summary": (
+        r"^summary$",
+        r"professional\s+summary",
+        r"profile",
+        r"objective",
+        r"about\s+me",
+        r"career\s+objective",
+    ),
+    "skills": (
+        r"^skills$",
+        r"^technical\s+skills$",
+        r"^languages:",
+        r"technical\s+skills",
+        r"skills(\s+&\s+competencies)?",
+        r"technologies(\s+used)?",
+        r"tools\s+&\s+technologies",
+        r"core\s+competencies",
+        r"expertise",
+        r"^programming\s+languages$",
+        r"^frameworks$",
+        r"^tools$",
+        r"^databases$",
+        r"^methodologies$",
+    ),
+    "education": (
+        r"^education$",
+        r"education(\s+background)?",
+        r"academic(\s+background)?",
+        r"qualifications",
+        r"academic\s+history",
+        r"educational\s+qualifications",
+        r"^university\s+of",
+        r"^college",
+        r"^institute",
+    ),
+    "experience": (
+        r"work\s+experience",
+        r"professional\s+experience",
+        r"employment\s+history",
+        r"experience",
+        r"career\s+history",
+        r"work\s+history",
+        r"job history",
+        r"career summary",
+        r"professional background",
+        r"positions held",
+    ),
+    "projects": (
+        r"^projects$",
+        r"^technical\s+projects$",
+        r"portfolio",
+        r"technical\s+projects",
+        r"personal\s+projects",
+        r"key\s+projects",
+        r"^project\s+\d+:",
+    ),
+    "certifications": (
+        r"certifications?",
+        r"certificates?",
+        r"awards",
+        r"honors",
+        r"accomplishments",
+    ),
+}
+
+_COMPILED_SECTIONS: dict[str, tuple[re.Pattern, ...]] = {
+    name: tuple(re.compile(p, re.IGNORECASE) for p in pats)
+    for name, pats in SECTION_PATTERNS.items()
+}
+
+DATE_LINE_PATTERNS = (
+    r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}\s*[-–]\s*"
+    r"(?:(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}|Present|Current)\b",
+    r"\b\d{4}\s*[-–]\s*(?:\d{4}|Present|Current)\b",
+    r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}\b",
+)
+_COMPILED_DATE_LINES = tuple(re.compile(p, re.IGNORECASE) for p in DATE_LINE_PATTERNS)
+
+# single alternation equivalent of the three patterns above, usable with
+# Spark `rlike` for the native-expression implementation (P6 in SURVEY §2.2)
+DATE_LINE_RLIKE = (
+    r"(?i)(\b(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}\s*[-–]\s*"
+    r"((Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}|Present|Current)\b)"
+    r"|(\b\d{4}\s*[-–]\s*(\d{4}|Present|Current)\b)"
+    r"|(\b(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}\b)"
+)
+
+
+def match_section_heading(text: str) -> Optional[str]:
+    """Section heading match with the colon/ALL-CAPS retry.
+
+    Mirrors section_detector.py:109-133: first a raw `search` over every
+    section's pattern list (dict order), then — only for lines ending in ':'
+    or fully uppercase — a retry with the trailing colon stripped.
+    """
+    if not text:
+        return None
+    for section, patterns in _COMPILED_SECTIONS.items():
+        for pat in patterns:
+            if pat.search(text):
+                return section
+    if text.endswith(":") or text.isupper():
+        clean = text.rstrip(":")
+        for section, patterns in _COMPILED_SECTIONS.items():
+            for pat in patterns:
+                if pat.search(clean):
+                    return section
+    return None
+
+
+def contains_date_pattern(text: str) -> bool:
+    """Date-range predicate (section_detector.py:151-161)."""
+    return any(p.search(text) for p in _COMPILED_DATE_LINES)
+
+
+def detect_sections(lines: list[str]) -> dict[str, str]:
+    """Line FSM assigning lines to sections (section_detector.py:42-67).
+
+    State = current section; heading lines switch state; date-pattern lines
+    outside experience/education force state to 'experience'; other lines
+    append to the current section (dropped when no state yet). Returns a
+    dict of section -> newline-joined content ('' when empty). When nothing
+    matched at all, everything lands in a synthetic 'content' section
+    (section_detector.py:94-100).
+    """
+    sections: dict[str, str] = {name: "" for name in SECTION_NAMES}
+    current: Optional[str] = None
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        hit = match_section_heading(line)
+        if hit:
+            current = hit
+            sections[current] += line + "\n"
+        elif contains_date_pattern(line):
+            if current not in ("experience", "education"):
+                current = "experience"
+            sections[current] += line + "\n"
+        elif current:
+            sections[current] += line + "\n"
+    if not any(v.strip() for v in sections.values()):
+        sections["content"] = "\n".join(
+            ln.strip() for ln in lines if ln.strip()
+        ) + ("\n" if any(ln.strip() for ln in lines) else "")
+    return sections
+
+
+# ---------------------------------------------------------------------------
+# Block / span classification — content vs boilerplate vs media-anchor
+# ---------------------------------------------------------------------------
+# The reference has no boilerplate stripper (it parses single resumes); the
+# north_star mandates one (Boilerpipe/Readability-style link-density +
+# block-tag scoring). These rules are therefore defined HERE as the
+# authoritative semantics, implemented natively in Spark (operators/
+# classify.py) and mirrored by the oracle. Every rule is a deterministic
+# regex/ratio on the span text.
+
+PAGE_FURNITURE_RE = re.compile(
+    r"(?i)^\s*("
+    r"page\s+\d+(\s+of\s+\d+)?"  # Page 3 of 12
+    r"|\d+\s*/\s*\d+"  # 3 / 12
+    r"|\d{1,4}"  # bare page number
+    r"|[-_=*•.·]{3,}"  # separator rules
+    r"|(©|\(c\)|copyright)\s.*"  # copyright lines
+    r"|all\s+rights\s+reserved.*"
+    r"|confidential(\s+document)?"
+    r"|generated\s+by\s+\S+"
+    r"|downloaded\s+from\s+\S+"
+    r")\s*$"
+)
+
+NAV_MENU_RE = re.compile(
+    # >=3 short title-case tokens separated by | or • : "Home | About | Jobs"
+    r"^\s*[A-Z][\w]{1,14}(\s*[|•]\s*[A-Z][\w]{1,14}){2,}\s*$"
+)
+
+LINK_TOKEN_RE = re.compile(
+    r"(?i)^(https?://\S+|www\.\S+|\S+\.(com|org|net|io|dev|co)(/\S*)?)$"
+)
+
+CONTACT_LINE_RE = re.compile(
+    r"(?i)(\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"  # email
+    r"|\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b"  # phone
+    r"|\(\d{3}\)\s*\d{3}[-.\s]?\d{4}"  # (123) 456-7890
+    r"|linkedin\.com/(in|pub)/[A-Za-z0-9-]+"
+    r"|github\.com/[A-Za-z0-9-]+)"
+)
+
+LINK_DENSITY_THRESHOLD = 0.5
+LINK_DENSITY_MIN_TOKENS = 3
+
+
+def link_density(text: str) -> float:
+    """Fraction of whitespace tokens that are URL-like."""
+    tokens = text.split()
+    if not tokens:
+        return 0.0
+    links = sum(1 for t in tokens if LINK_TOKEN_RE.match(t))
+    return links / len(tokens)
+
+
+def classify_span(kind: str, text: str, media_ref: Optional[str]) -> str:
+    """Return 'media-anchor' | 'boilerplate' | 'content'.
+
+    Rules (order matters):
+      1. image spans (or any span with a media_ref) -> media-anchor
+      2. empty/whitespace text -> boilerplate (dropped)
+      3. contact-looking lines are always content (guards against the
+         link-density rule eating 'linkedin.com/in/x | github.com/y')
+      4. page furniture / nav menus / link farms -> boilerplate
+      5. else -> content
+    """
+    if kind == "image" or (media_ref is not None and media_ref != ""):
+        return "media-anchor"
+    if not text or not text.strip():
+        return "boilerplate"
+    stripped = text.strip()
+    if CONTACT_LINE_RE.search(stripped):
+        return "content"
+    if PAGE_FURNITURE_RE.match(stripped):
+        return "boilerplate"
+    if NAV_MENU_RE.match(stripped):
+        return "boilerplate"
+    tokens = stripped.split()
+    if (
+        len(tokens) >= LINK_DENSITY_MIN_TOKENS
+        and link_density(stripped) > LINK_DENSITY_THRESHOLD
+    ):
+        return "boilerplate"
+    return "content"
+
+
+def is_heading_block(font_size: float, font_name: str, text: str) -> bool:
+    """Heading classifier (pdf_parser.py:215-219)."""
+    return (
+        font_size >= 12
+        or font_name.startswith("CMBX")
+        or any(w.strip().isupper() for w in text.split())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date normalization — deterministic subset of date_normalizer.py
+# ---------------------------------------------------------------------------
+
+MONTH_MAP = {
+    "jan": 1, "january": 1, "feb": 2, "february": 2, "mar": 3, "march": 3,
+    "apr": 4, "april": 4, "may": 5, "jun": 6, "june": 6, "jul": 7,
+    "july": 7, "aug": 8, "august": 8, "sep": 9, "september": 9, "oct": 10,
+    "october": 10, "nov": 11, "november": 11, "dec": 12, "december": 12,
+}
+
+_PRESENT_RE = re.compile(r"(?i)\b(present|current|ongoing|now)\b")
+_QUARTER_RE = re.compile(r"(?i)\bQ([1-4])\s*(\d{4})\b")
+_ISO_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_DMY_RE = re.compile(r"^(\d{2})-(\d{2})-(\d{4})$")
+_MDY_RE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
+_MONTH_YEAR_RE = re.compile(r"(?i)([a-z]+)[^\d]*(\d{4})")
+_NUM_MONTH_YEAR_RE = re.compile(r"(\d{1,2})[^\d]*(\d{4})")
+_YEAR_RE = re.compile(r"(\d{4})")
+
+
+def normalize_date(date_str: Optional[str], as_of: date = AS_OF) -> Optional[date]:
+    """Deterministic date parse (date_normalizer.py:33-126 minus dateparser).
+
+    Order: Present/Current -> as_of; explicit full formats (ISO, d-m-Y,
+    m/d/Y); quarter; month-name + year; numeric month + year; bare year.
+    Returns None when nothing parses.
+    """
+    if not date_str:
+        return None
+    s = date_str.strip()
+    if not s:
+        return None
+    if _PRESENT_RE.search(s):
+        return as_of
+
+    m = _ISO_RE.match(s)
+    if m:
+        try:
+            return date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        except ValueError:
+            return None
+    m = _DMY_RE.match(s)
+    if m:
+        try:
+            return date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+        except ValueError:
+            return None
+    m = _MDY_RE.match(s)
+    if m:
+        try:
+            return date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
+        except ValueError:
+            return None
+
+    m = _QUARTER_RE.search(s)
+    if m:
+        quarter, year = int(m.group(1)), int(m.group(2))
+        return date(year, (quarter - 1) * 3 + 1, 1)
+
+    m = _MONTH_YEAR_RE.search(s)
+    if m:
+        month = MONTH_MAP.get(m.group(1).lower()) or MONTH_MAP.get(m.group(1).lower()[:3])
+        if month:
+            return date(int(m.group(2)), month, 1)
+
+    m = _NUM_MONTH_YEAR_RE.search(s)
+    if m and 1 <= int(m.group(1)) <= 12:
+        return date(int(m.group(2)), int(m.group(1)), 1)
+
+    # bare-year pattern: FIRST 4-digit run anywhere -> Jan 1 of that year
+    # (date_normalizer.py:70-105 pattern 3 — reached even when the string
+    # holds several numbers, e.g. '(2019-2023)' -> 2019-01-01)
+    m = _YEAR_RE.search(s)
+    if m:
+        return date(int(m.group(1)), 1, 1)
+    return None
+
+
+_PERIOD_DELIMS = (r"\s+to\s+", r"\s+-\s+", r"\s*–\s*", r"\s*—\s*")
+
+
+def extract_period(
+    text: str, as_of: date = AS_OF
+) -> tuple[Optional[date], Optional[date]]:
+    """Split '(start) to|-|–|— (end)' and parse both (date_normalizer.py:128-144).
+
+    The reference lowercases the whole text first; parsing is case-insensitive
+    so only the split behavior matters. No delimiter -> (d, d).
+    """
+    low = text.lower()
+    for delim in _PERIOD_DELIMS:
+        parts = re.split(delim, low)
+        if len(parts) == 2:
+            return (
+                normalize_date(parts[0].strip(), as_of),
+                normalize_date(parts[1].strip(), as_of),
+            )
+    d = normalize_date(low, as_of)
+    return d, d
+
+
+def duration_months(start: Optional[date], end: Optional[date], as_of: date = AS_OF) -> int:
+    """Whole months between dates, +1 when leftover days exist
+    (experience_normalizer.py:163-206)."""
+    if start is None:
+        return 0
+    if end is None:
+        end = as_of
+    if start > end:
+        return 0
+    months = (end.year - start.year) * 12 + (end.month - start.month)
+    if end.day < start.day:
+        months -= 1
+        # leftover days always exist in this branch
+        return months + 1 if months >= 0 else 0
+    if end.day > start.day:
+        return months + 1
+    return months
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string similarity (pure Python; rapidfuzz-compatible definitions)
+# ---------------------------------------------------------------------------
+# Public algorithm definitions: ratio = normalized indel similarity,
+# token_sort_ratio = ratio over sorted tokens, token_set_ratio = max ratio
+# over set-intersection constructions. WRatio approximated as the weighted
+# max used by the public implementations.
+
+
+def _indel_ratio(a: str, b: str) -> float:
+    """Normalized indel similarity in [0,100] (LCS-based)."""
+    if not a and not b:
+        return 100.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    # LCS length via DP on the shorter string's axis
+    if lb > la:
+        a, b = b, a
+        la, lb = lb, la
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    lcs = prev[lb]
+    return 200.0 * lcs / (la + lb)
+
+
+def fuzz_ratio(a: str, b: str) -> float:
+    return _indel_ratio(a, b)
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    sa = " ".join(sorted(a.lower().split()))
+    sb = " ".join(sorted(b.lower().split()))
+    return _indel_ratio(sa, sb)
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    ta, tb = set(a.lower().split()), set(b.lower().split())
+    if not ta or not tb:
+        return _indel_ratio(a.lower(), b.lower())
+    inter = " ".join(sorted(ta & tb))
+    sa = " ".join(sorted(ta))
+    sb = " ".join(sorted(tb))
+    combined_a = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    combined_b = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(
+        _indel_ratio(inter, combined_a),
+        _indel_ratio(inter, combined_b),
+        _indel_ratio(combined_a, combined_b),
+    )
+
+
+def wratio(a: str, b: str) -> float:
+    """Weighted max of ratio / token ratios (approximation of the public
+    WRatio definition: plain ratio, plus token_sort/token_set scaled by
+    0.95, with an extra penalty when lengths diverge a lot)."""
+    a_l, b_l = a.lower(), b.lower()
+    base = _indel_ratio(a_l, b_l)
+    la, lb = len(a_l), len(b_l)
+    if la == 0 or lb == 0:
+        return base
+    len_ratio = max(la, lb) / min(la, lb)
+    token_part = max(token_sort_ratio(a, b), token_set_ratio(a, b)) * 0.95
+    if len_ratio >= 8:
+        token_part *= 0.6 / 0.95
+    return max(base, token_part)
+
+
+def best_fuzzy_match(
+    query: str, index: list[str], threshold: float
+) -> Optional[str]:
+    """extractOne equivalent: argmax wratio >= threshold, ties -> first in
+    index order (matches the public extractOne tie behavior)."""
+    best_score = -1.0
+    best: Optional[str] = None
+    for cand in index:
+        s = wratio(query, cand)
+        if s > best_score:
+            best_score = s
+            best = cand
+    if best is not None and best_score >= threshold:
+        return best
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Entity extraction regexes (entity_extractor.py) — deterministic path only
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"
+PHONE_RE = r"(\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b|\+\d{1,3}[-.\s]?\d{3,}[-.\s]?\d{4,})"
+LINKEDIN_RE = r"(https?://)?(www\.)?linkedin\.com/(in|pub)/[a-zA-Z0-9-]+"
+GITHUB_RE = r"(https?://)?(www\.)?github\.com/[a-zA-Z0-9-]+/?"
+NAME_RE = r"^([A-Z][a-zA-Z\s]+)\n"
+SKILL_SPLIT_RE = r"[\n,;•/]+"
+ENTRY_SPLIT_RE = r"\n(?=[A-Z][^a-z])"
+DEGREE_FALLBACK_RE = r"(?i)\b(bachelor|master|phd|bsc|msc|mba|ba|bs|ms|ma)\b\.?"
+INSTITUTION_FALLBACK_RE = r"(?i)(university|college|institute|school|academy)\b"
+COMPANY_FALLBACK_RE = (
+    r"\b([A-Z][a-zA-Z0-9\s,.-]+(?:Inc|LLC|Co|Company|Group|Corp|Corporation|Ltd|Limited))\b"
+)
+POSITION_FALLBACK_RE = (
+    r"(?i)\b(software engineer|developer|data scientist|project manager|analyst|consultant)\b"
+)
+GPA_RE = r"\b(\d\.\d{1,2})\b"
+GPA_VETO_RE = r"(?i)out\s+of|on|scale"
+
+FIELDS_OF_STUDY = (
+    "computer science", "software engineering", "electrical engineering",
+    "mechanical engineering", "civil engineering", "data science",
+    "artificial intelligence", "machine learning", "information technology",
+    "business administration", "finance", "marketing", "physics",
+    "mathematics", "chemistry", "biology", "psychology", "history",
+    "literature", "arts", "design",
+)
+
+STOP_WORDS = frozenset(
+    {"and", "or", "with", "using", "in", "on", "for", "to", "of", "the", "a", "an"}
+)
+
+DEGREE_ABBREV = {
+    "BS": "Bachelor of Science",
+    "BA": "Bachelor of Arts",
+    "MS": "Master of Science",
+    "MA": "Master of Arts",
+    "MBA": "Master of Business Administration",
+    "PHD": "Doctor of Philosophy",
+}
+
+TITLE_ABBREVIATIONS: tuple[tuple[str, str], ...] = (
+    # compound first (experience patterns in config/patterns.yaml:47-71)
+    (r"Sr\.?\s*SWE", "Senior Software Engineer"),
+    (r"Sr\.?\s*Dev(?:eloper)?", "Senior Developer"),
+    (r"Sr\.?\s*Eng(?:ineer)?", "Senior Engineer"),
+    (r"Jr\.?\s*SWE", "Junior Software Engineer"),
+    (r"Jr\.?\s*Dev(?:eloper)?", "Junior Developer"),
+    (r"Jr\.?\s*Eng(?:ineer)?", "Junior Engineer"),
+    (r"Sr\.?\s*Tech\s*Lead", "Senior Technical Lead"),
+    (r"Tech\s*Lead", "Technical Lead"),
+    # single
+    (r"Sr\.?", "Senior"),
+    (r"Jr\.?", "Junior"),
+    (r"Mgr\.?", "Manager"),
+    (r"Dir\.?", "Director"),
+    (r"VP", "Vice President"),
+    (r"PM", "Project Manager"),
+    (r"SWE", "Software Engineer"),
+    (r"SDE", "Software Development Engineer"),
+    (r"Dev\.?", "Developer"),
+    (r"Eng\.?", "Engineer"),
+    (r"Tech\.?", "Technical"),
+    (r"Sys\.?", "Systems"),
+    (r"Arch\.?", "Architect"),
+)
+
+COMPANY_SUFFIXES = ("Inc|Incorporated", "Corp|Corporation", "Co|Company",
+                    "Ltd|Limited", "LLC", "Group")
+
+INSTITUTION_INDICATORS = ("university", "college", "institute", "school")
+
+SKILL_CATEGORY_LABELS = ("Languages", "Tools", "Frameworks", "Libraries")
+
+
+def extract_contact(contact_text: str) -> dict[str, Optional[str]]:
+    """Contact extraction, regex path only (entity_extractor.py:49-84,
+    minus NER location)."""
+    out: dict[str, Optional[str]] = {
+        "name": None, "email": None, "phone": None,
+        "linkedin": None, "github": None,
+    }
+    text = contact_text
+    m = re.match(NAME_RE, text)
+    if m:
+        out["name"] = m.group(1).strip()
+        text = text[m.end():].strip()
+    m = re.search(EMAIL_RE, text)
+    if m:
+        out["email"] = m.group(0)
+    m = re.search(PHONE_RE, text)
+    if m:
+        out["phone"] = m.group(0) if isinstance(m.group(0), str) else "".join(m.groups())
+    m = re.search(LINKEDIN_RE, text)
+    if m:
+        out["linkedin"] = m.group(0)
+    m = re.search(GITHUB_RE, text)
+    if m:
+        out["github"] = m.group(0)
+    return out
+
+
+def extract_summary(summary_text: str) -> str:
+    """Whitespace-collapse + 500-char sentence-aware truncation
+    (entity_extractor.py:86-91)."""
+    cleaned = re.sub(r"\s+", " ", summary_text).strip()
+    if len(cleaned) > 500:
+        last_period = cleaned[:500].rfind(".")
+        return cleaned[: last_period + 1] if last_period > 0 else cleaned[:497] + "..."
+    return cleaned
+
+
+def normalize_skill(
+    skill: str,
+    lower_index: dict[str, str],
+    variant_to_canonical: dict[str, str],
+    index: list[str],
+    threshold: float = 80.0,
+) -> Optional[str]:
+    """Single-skill normalization (skill_normalizer.py:47-81): strip
+    category labels + parentheticals, exact case-insensitive lookup, fuzzy
+    fallback, else passthrough."""
+    if skill is None:
+        return None
+    if skill == "":
+        return ""
+    if not skill.strip():
+        return skill
+    for label in SKILL_CATEGORY_LABELS:
+        skill = re.sub(f"^{label}:\\s*", "", skill)
+    skill = re.sub(r"\([^)]*\)", "", skill).strip()
+    low = skill.lower()
+    if low in lower_index:
+        original = lower_index[low]
+        return variant_to_canonical.get(original, original)
+    match = best_fuzzy_match(skill, index, threshold)
+    if match is not None:
+        return variant_to_canonical.get(match, match)
+    return skill
+
+
+def extract_skills(
+    skills_text: str,
+    lower_index: dict[str, str],
+    variant_to_canonical: dict[str, str],
+    index: list[str],
+    threshold: float = 80.0,
+) -> list[str]:
+    """Skills pipeline, deterministic path (entity_extractor.py:93-126
+    without NER): split on delimiters, drop len<=1/pure digits, normalize,
+    distinct + sort."""
+    if not skills_text.strip():
+        return []
+    phrases = [p.strip() for p in re.split(SKILL_SPLIT_RE, skills_text) if p.strip()]
+    normalized: set[str] = set()
+    for phrase in phrases:
+        if len(phrase) <= 1 or phrase.isdigit():
+            continue
+        norm = normalize_skill(
+            phrase, lower_index, variant_to_canonical, index, threshold
+        )
+        if norm:
+            normalized.add(norm)
+    normalized = {s for s in normalized if s.lower() not in STOP_WORDS}
+    return sorted(normalized)
+
+
+def expand_degree(degree: str) -> str:
+    """Degree cleanup chain (education_normalizer.py:92-142): strip
+    punctuation, expand abbreviations, grammar fixes."""
+    if not degree:
+        return ""
+    clean = re.sub(r"[^\w\s]", "", degree)
+
+    def _expand(m: re.Match) -> str:
+        return DEGREE_ABBREV.get(re.sub(r"\.", "", m.group().upper()), m.group())
+
+    clean = re.sub(
+        r"(?i)\b(bachelor|master|phd|bsc|msc|mba|ba|bs|ms|ma)\b", _expand, clean
+    )
+    clean = re.sub(r"(?i)\bMasters\b", "Master", clean)
+    clean = re.sub(r"(?i)\bAdmin\b", "Administration", clean)
+    clean = re.sub(r"(?i)\bin\b", "of", clean)
+    clean = re.sub(r"(?i)\bDegree\b$", "", clean).strip()
+    return clean if clean else degree
+
+
+def normalize_institution_text(name: str) -> str:
+    """Institution cleanup (education_normalizer.py:52-72): drop odd chars,
+    periods, and indicator words."""
+    if not name:
+        return ""
+    clean = re.sub(r"[^\w\s&.,-]", "", name)
+    clean = clean.replace(".", "")
+    indicators = "|".join(INSTITUTION_INDICATORS)
+    clean = re.sub(rf"(?i)\b({indicators})\b\.?", "", clean).strip()
+    return clean
+
+
+def strip_company_suffixes(name: str) -> str:
+    """Company suffix strip (experience_normalizer.py:56-75)."""
+    if not name:
+        return ""
+    cleaned = re.sub(r"[^\w\s&.,-]", "", name)
+    for suffix in COMPANY_SUFFIXES:
+        cleaned = re.sub(rf"(?i)\b({suffix})\b\.?", "", cleaned).strip()
+    return cleaned
+
+
+def expand_title(title: str) -> str:
+    """Two-pass title abbreviation expansion (experience_normalizer.py:77-109).
+    Compound patterns first, then single-word with optional periods."""
+    if not title:
+        return ""
+    expanded = title
+    for pattern, full in TITLE_ABBREVIATIONS:
+        if r"\s*" in pattern or " " in pattern:
+            expanded = re.sub(rf"(?i)\b{pattern}\b", full, expanded)
+    for pattern, full in TITLE_ABBREVIATIONS:
+        if r"\s*" not in pattern and " " not in pattern:
+            expanded = re.sub(rf"(?i)\b{pattern}\b", full, expanded)
+    return expanded
+
+
+def extract_gpa(text: str) -> Optional[float]:
+    """GPA extract with scale-indicator veto (education_normalizer.py:198-219).
+
+    NOTE the reference vetoes when the string contains 'out of'/'on'/'scale'
+    anywhere — '3.8/4.0' alone passes, 'GPA 3.5 on a 4.0 scale' is vetoed.
+    """
+    if not text:
+        return None
+    m = re.search(GPA_RE, text)
+    if m and re.search(GPA_VETO_RE, text):
+        return None
+    if m:
+        try:
+            return float(m.group(1))
+        except ValueError:
+            return None
+    return None
+
+
+def split_entries(section_text: str) -> list[str]:
+    """Entry segmentation `\\n(?=[A-Z][^a-z])` (entity_extractor.py:135,166,280)."""
+    if not section_text.strip():
+        return []
+    return [e.strip() for e in re.split(ENTRY_SPLIT_RE, section_text) if e.strip()]
+
+
+def extract_field_of_study(text: str) -> Optional[str]:
+    for field in FIELDS_OF_STUDY:
+        if re.search(r"(?i)\b" + re.escape(field) + r"\b", text):
+            return field
+    return None
+
+
+def extract_degree_raw(text: str) -> Optional[str]:
+    m = re.search(DEGREE_FALLBACK_RE, text)
+    return m.group(0) if m else None
+
+
+def extract_institution_raw(text: str) -> Optional[str]:
+    m = re.search(INSTITUTION_FALLBACK_RE, text)
+    return m.group(0) if m else None
+
+
+def extract_company_raw(text: str) -> Optional[str]:
+    m = re.search(COMPANY_FALLBACK_RE, text)
+    return m.group(1) if m else None
+
+
+def extract_position_raw(text: str) -> Optional[str]:
+    m = re.search(POSITION_FALLBACK_RE, text)
+    return m.group(0) if m else None
+
+
+PROJECT_BOUNDARIES = (
+    r"\n(?=[A-Z][\w\s-]+ - [\w\s]+(?:app|system|platform|game))",
+    r"\n(?=\d+\.\s+[A-Z][\w\s-]+)",
+    r"\n(?=Project \d+:)",
+    r"\n(?=\s*[•\-*]?\s*[A-Z][^\n:]+[:\n])",
+    r"\n\n(?=[A-Z])",
+)
+
+
+def split_project_entries(text: str) -> list[str]:
+    """Project boundary split (entity_extractor.py:238-253)."""
+    pattern = "|".join(PROJECT_BOUNDARIES)
+    return [e.strip() for e in re.split(pattern, text) if e.strip()]
+
+
+def parse_project_entry(text: str) -> tuple[str, Optional[str]]:
+    """(name, description) from one project entry
+    (entity_extractor.py:255-264)."""
+    parts = text.split("\n", 1)
+    name = parts[0].strip()
+    description = parts[1].strip() if len(parts) > 1 else None
+    name = re.sub(r"^[\s•\-*]+\s*", "", name)
+    name = re.sub(r":\s*", "", name)
+    return name, description
+
+
+# ---------------------------------------------------------------------------
+# Composite per-section extraction (deterministic path of
+# entity_extractor._extract_{education,experience,projects}; NER excluded)
+# ---------------------------------------------------------------------------
+
+
+def normalize_institution(
+    name: str,
+    mapping: dict[str, list[str]] | None = None,
+    index: list[str] | None = None,
+    threshold: float = 85.0,
+) -> str:
+    """education_normalizer.py:52-89: clean, exact index hit, fuzzy, else
+    'Unknown'."""
+    if not name:
+        return "Unknown"
+    clean = normalize_institution_text(name)
+    if not clean:
+        return "Unknown"
+    mapping = mapping or {}
+    index = index if index is not None else _index_of(mapping)
+    if clean in index:
+        return _canonical_of(clean, mapping)
+    match = best_fuzzy_match(clean, index, threshold) if index else None
+    if match is not None:
+        return _canonical_of(match, mapping)
+    return "Unknown"
+
+
+def normalize_degree(
+    degree: str,
+    mapping: dict[str, list[str]] | None = None,
+    index: list[str] | None = None,
+    threshold: float = 85.0,
+) -> str:
+    """education_normalizer.py:92-129: expansion chain, exact, fuzzy,
+    else the cleaned string."""
+    if not degree:
+        return ""
+    clean = expand_degree(degree)
+    if not clean:
+        return degree
+    mapping = mapping or {}
+    index = index if index is not None else _index_of(mapping)
+    if clean in index:
+        return _canonical_of(clean, mapping)
+    match = best_fuzzy_match(clean, index, threshold) if index else None
+    if match is not None:
+        return _canonical_of(match, mapping)
+    return clean
+
+
+def normalize_company(
+    name: str,
+    mapping: dict[str, list[str]] | None = None,
+    index: list[str] | None = None,
+    threshold: float = 85.0,
+) -> str:
+    """experience_normalizer.py:56-75: suffix-strip, match, else ORIGINAL name."""
+    if not name:
+        return ""
+    cleaned = strip_company_suffixes(name)
+    mapping = mapping or {}
+    index = index if index is not None else _index_of(mapping)
+    if cleaned in index:
+        return _canonical_of(cleaned, mapping)
+    match = best_fuzzy_match(cleaned, index, threshold) if index else None
+    if match is not None:
+        return _canonical_of(match, mapping)
+    return name
+
+
+def normalize_title(
+    title: str,
+    mapping: dict[str, list[str]] | None = None,
+    index: list[str] | None = None,
+    threshold: float = 90.0,
+) -> str:
+    """experience_normalizer.py:77-109: expand abbreviations, match expanded
+    then original, else expanded."""
+    if not title:
+        return ""
+    expanded = expand_title(title)
+    mapping = mapping or {}
+    index = index if index is not None else _index_of(mapping)
+    for cand in (expanded, title):
+        if cand in index:
+            return _canonical_of(cand, mapping)
+        match = best_fuzzy_match(cand, index, threshold) if index else None
+        if match is not None:
+            return _canonical_of(match, mapping)
+    return expanded
+
+
+def _index_of(mapping: dict[str, list[str]]) -> list[str]:
+    index: list[str] = []
+    for canonical, variants in mapping.items():
+        if canonical not in index:
+            index.append(canonical)
+        for v in variants:
+            if v not in index:
+                index.append(v)
+    return index
+
+
+def _canonical_of(variant: str, mapping: dict[str, list[str]]) -> str:
+    for canonical, variants in mapping.items():
+        if variant == canonical or variant in variants:
+            return canonical
+    return variant
+
+
+def extract_education_entries(
+    text: str,
+    institutions: dict[str, list[str]] | None = None,
+    degrees: dict[str, list[str]] | None = None,
+    as_of: date = AS_OF,
+) -> list[dict]:
+    """entity_extractor.py:128-157, deterministic path."""
+    entries = []
+    for entry in split_entries(text):
+        start, end = extract_period(entry, as_of)
+        entries.append({
+            "institution": normalize_institution(
+                extract_institution_raw(entry) or "", institutions
+            ),
+            "degree": normalize_degree(extract_degree_raw(entry) or "", degrees),
+            "field_of_study": extract_field_of_study(entry),
+            "start_date": start,
+            "end_date": end,
+            "description": entry,
+            "gpa": extract_gpa(entry),
+        })
+    return entries
+
+
+def extract_experience_entries(
+    text: str,
+    companies: dict[str, list[str]] | None = None,
+    titles: dict[str, list[str]] | None = None,
+    skill_lower_index: dict[str, str] | None = None,
+    skill_var2canon: dict[str, str] | None = None,
+    skill_index: list[str] | None = None,
+    as_of: date = AS_OF,
+) -> list[dict]:
+    """entity_extractor.py:159-189, deterministic path. Dates stringified
+    like the reference (str(date) -> ISO)."""
+    entries = []
+    for entry in split_entries(text):
+        start, end = extract_period(entry, as_of)
+        technologies: list[str] = []
+        if skill_index is not None:
+            technologies = extract_skills(
+                entry, skill_lower_index or {}, skill_var2canon or {}, skill_index
+            )
+        entries.append({
+            "company": normalize_company(extract_company_raw(entry) or "", companies),
+            "position": normalize_title(extract_position_raw(entry) or "", titles),
+            "start_date": str(start) if start else None,
+            "end_date": str(end) if end else None,
+            "description": entry,
+            "technologies": technologies,
+            "duration_months": duration_months(start, end, as_of),
+        })
+    return entries
+
+
+def extract_project_entries(
+    text: str,
+    skill_lower_index: dict[str, str] | None = None,
+    skill_var2canon: dict[str, str] | None = None,
+    skill_index: list[str] | None = None,
+) -> list[dict]:
+    """entity_extractor.py:217-271, deterministic path."""
+    projects = []
+    for entry in split_project_entries(text):
+        name, description = parse_project_entry(entry)
+        if not name:
+            continue
+        technologies: list[str] = []
+        if description and skill_index is not None:
+            technologies = extract_skills(
+                description, skill_lower_index or {}, skill_var2canon or {}, skill_index
+            )
+        projects.append({
+            "name": name,
+            "description": description,
+            "technologies": technologies,
+        })
+    return projects
+
+
+# ---------------------------------------------------------------------------
+# PII (regex recognizers + hash/mask/token strategies; pii_handler.py)
+# ---------------------------------------------------------------------------
+
+PII_RULES: tuple[tuple[str, str], ...] = (
+    ("EMAIL", EMAIL_RE),
+    ("PHONE", r"\b(?:\+\d{1,2}\s?)?(?:\(\d{3}\)|\d{3})[-.\s]?\d{3}[-.\s]?\d{4}\b"),
+    ("SSN", r"\b\d{3}[-]?\d{2}[-]?\d{4}\b"),
+)
+
+DEFAULT_SALT = "secure_salt_value"
+
+
+def pii_hash(value: str, salt: str = DEFAULT_SALT) -> str:
+    """Salted sha256 truncated to 8 hex (pii_handler.py:103-104)."""
+    return hashlib.sha256(f"{value}{salt}".encode()).hexdigest()[:8]
+
+
+def mask_email(value: str) -> str:
+    parts = value.split("@")
+    if len(parts) == 2 and parts[0]:
+        return f"{parts[0][0]}***@{parts[1]}"
+    return "[EMAIL_REDACTED]"
+
+
+def mask_phone(value: str) -> str:
+    digits = re.sub(r"\D", "", value)
+    if len(digits) >= 7:
+        return f"{digits[:3]}***{digits[-4:]}"
+    return "[PHONE_REDACTED]"
+
+
+def anonymize_text(text: str, strategy: str = "hash", salt: str = DEFAULT_SALT) -> str:
+    """Regex-recognizer anonymization (pii_handler.py:29-101 semantics,
+    hash/mask/token strategies; entities replaced left-to-right, first
+    matching rule wins per span)."""
+    matches: list[tuple[int, int, str, str]] = []
+    taken: list[tuple[int, int]] = []
+    for ent_type, pattern in PII_RULES:
+        for m in re.finditer(pattern, text):
+            span = (m.start(), m.end())
+            if any(not (span[1] <= s or span[0] >= e) for s, e in taken):
+                continue
+            taken.append(span)
+            matches.append((m.start(), m.end(), ent_type, m.group(0)))
+    matches.sort(key=lambda x: x[0])
+    counters: dict[str, int] = {}
+    out: list[str] = []
+    pos = 0
+    for start, end, ent_type, value in matches:
+        out.append(text[pos:start])
+        if strategy == "hash":
+            out.append(f"[{ent_type}_{pii_hash(value, salt)}]")
+        elif strategy == "mask":
+            if ent_type == "EMAIL":
+                out.append(mask_email(value))
+            elif ent_type == "PHONE":
+                out.append(mask_phone(value))
+            else:
+                out.append(f"[{ent_type}_REDACTED]")
+        else:  # token
+            counters[ent_type] = counters.get(ent_type, 0) + 1
+            out.append(f"[{ent_type}_{counters[ent_type]}]")
+        pos = end
+    out.append(text[pos:])
+    return "".join(out)

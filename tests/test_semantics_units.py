@@ -1,0 +1,196 @@
+"""Parametrized unit tables mirroring the reference's unit-test strategy
+(SURVEY §5.1; FIXTURES.md §5): dates, headings, degrees, titles, GPA,
+contact, PII — asserted against the pure-Python deterministic core."""
+
+from datetime import date
+
+import pytest
+
+from document_parser_private_spark import semantics as S
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Sep 2020", date(2020, 9, 1)),
+        ("September 2020", date(2020, 9, 1)),
+        ("Q1 2023", date(2023, 1, 1)),
+        ("Q4 2019", date(2019, 10, 1)),
+        ("2024", date(2024, 1, 1)),
+        ("May2023", date(2023, 5, 1)),
+        ("05/2021", date(2021, 5, 1)),
+        ("2020-07-15", date(2020, 7, 15)),
+        ("15-07-2020", date(2020, 7, 15)),
+        ("7/15/2020", date(2020, 7, 15)),
+        ("Present", S.AS_OF),
+        ("current", S.AS_OF),
+        ("ongoing", S.AS_OF),
+        ("", None),
+        ("no date here", None),
+        ("(2019-2023)", date(2019, 1, 1)),  # bare-year fallback quirk
+    ],
+)
+def test_normalize_date(raw, expected):
+    assert S.normalize_date(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "text,start,end",
+    [
+        ("Jan 2020 to Dec 2021", date(2020, 1, 1), date(2021, 12, 1)),
+        ("Jan 2020 - Present", date(2020, 1, 1), S.AS_OF),
+        ("2018 – 2020", date(2018, 1, 1), date(2020, 1, 1)),
+        ("Sep 2020", date(2020, 9, 1), date(2020, 9, 1)),
+    ],
+)
+def test_extract_period(text, start, end):
+    assert S.extract_period(text) == (start, end)
+
+
+@pytest.mark.parametrize(
+    "line,section",
+    [
+        ("WORK EXPERIENCE:", "experience"),
+        ("EDUCATION:", "education"),
+        ("SKILLS:", "skills"),
+        ("SUMMARY:", "summary"),
+        ("CONTACT INFORMATION", "contact"),
+        ("PROJECTS:", "projects"),
+        ("CERTIFICATIONS:", "certifications"),
+        ("john.doe@email.com", "contact"),  # anchored email pattern
+        ("linkedin.com/in/john-doe", "contact"),
+        ("5 years of experience in Java", "experience"),  # unanchored quirk
+        ("Tools & Technologies", "skills"),
+        ("just a body line", None),
+        ("John Doe", None),
+    ],
+)
+def test_match_section_heading(line, section):
+    assert S.match_section_heading(line) == section
+
+
+@pytest.mark.parametrize(
+    "line,has_date",
+    [
+        ("Jan 2020 - Dec 2021", True),
+        ("2019-2023", True),
+        ("Mar 2018", True),
+        ("2020 - Present", True),
+        ("no dates", False),
+        ("version 2.0 of 10", False),
+    ],
+)
+def test_contains_date_pattern(line, has_date):
+    assert S.contains_date_pattern(line) == has_date
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("BS", "Bachelor of Science"),
+        ("B.S.", "Bachelor of Science"),
+        ("MBA", "Master of Business Administration"),
+        ("Masters of Business Admin",
+         "Master of Business Administration"),
+        ("MS in Computer Science", "Master of Science of Computer Science"),
+        ("PhD", "Doctor of Philosophy"),
+        ("Engineering Degree", "Engineering"),
+    ],
+)
+def test_expand_degree(raw, expected):
+    assert S.expand_degree(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Sr. SWE", "Senior Software Engineer"),
+        ("Sr SWE", "Senior Software Engineer"),
+        ("Jr. Dev", "Junior Developer"),
+        ("Tech Lead", "Technical Lead"),
+        ("VP", "Vice President"),
+        ("SWE", "Software Engineer"),
+        ("Sr. Tech Lead", "Senior Technical Lead"),
+        ("Plain Title", "Plain Title"),
+    ],
+)
+def test_expand_title(raw, expected):
+    assert S.expand_title(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("GPA: 3.5/4.0", 3.5),
+        ("3.8", 3.8),
+        ("GPA 3.5 on a 4.0 scale", None),  # scale-indicator veto
+        ("GPA: 3.9 out of 4", None),
+        ("no gpa", None),
+    ],
+)
+def test_extract_gpa(raw, expected):
+    assert S.extract_gpa(raw) == expected
+
+
+def test_extract_contact_full():
+    text = "John Doe\njohn.doe@email.com\n123-456-7890\nlinkedin.com/in/john-doe\ngithub.com/johndoe\n"
+    c = S.extract_contact(text)
+    assert c["name"] == "John Doe"
+    assert c["email"] == "john.doe@email.com"
+    assert c["phone"] == "123-456-7890"
+    assert c["linkedin"] == "linkedin.com/in/john-doe"
+    assert c["github"] == "github.com/johndoe"
+
+
+def test_summary_truncation():
+    short = "A concise summary."
+    assert S.extract_summary("  A   concise\nsummary. ") == short
+    long = ("word " * 150).strip() + ". tail"
+    out = S.extract_summary(long)
+    assert len(out) <= 500 and out.endswith(".")
+    no_period = "x" * 600
+    assert S.extract_summary(no_period) == "x" * 497 + "..."
+
+
+def test_classify_span_rules():
+    assert S.classify_span("image", "", "img://d/0") == "media-anchor"
+    assert S.classify_span("text", "Page 3 of 12", None) == "boilerplate"
+    assert S.classify_span("text", "4", None) == "boilerplate"
+    assert S.classify_span("text", "----", None) == "boilerplate"
+    assert S.classify_span("text", "Home | About | Services | Contact", None) == "boilerplate"
+    assert S.classify_span("text", "www.a.com www.b.org www.c.net", None) == "boilerplate"
+    assert S.classify_span("text", "© 2024 Resume Portal. All rights reserved.", None) == "boilerplate"
+    # contact guard beats link-density
+    assert S.classify_span("text", "linkedin.com/in/x | github.com/y | x@y.com", None) == "content"
+    assert S.classify_span("text", "Developed microservices using Python", None) == "content"
+    assert S.classify_span("text", "", None) == "boilerplate"
+
+
+def test_pii_strategies():
+    text = "mail john.doe@email.com or call 123-456-7890"
+    hashed = S.anonymize_text(text, "hash")
+    assert "[EMAIL_" in hashed and "[PHONE_" in hashed
+    assert S.pii_hash("x", "salt") == S.pii_hash("x", "salt")
+    masked = S.anonymize_text(text, "mask")
+    assert "j***@email.com" in masked
+    assert "123***7890" in masked
+    tokened = S.anonymize_text(text, "token")
+    assert "[EMAIL_1]" in tokened and "[PHONE_1]" in tokened
+
+
+def test_fuzzy_scorer():
+    assert S.fuzz_ratio("python", "python") == 100.0
+    assert S.wratio("Pythn", "Python") > 80
+    assert S.wratio("completely different", "Python") < 50
+    assert S.best_fuzzy_match("Pythn", ["Java", "Python", "Go"], 80) == "Python"
+    assert S.best_fuzzy_match("zzz", ["Java", "Python"], 80) is None
+
+
+def test_skills_pipeline():
+    from document_parser_private_spark.oracle import build_skill_index
+    lo, v2c, idx = build_skill_index({"Python": ["Python3"], "Java": []})
+    out = S.extract_skills("SKILLS:\nPython3, java, and, x", lo, v2c, idx)
+    assert "Python" in out          # variant -> canonical
+    assert "Java" in out            # case-insensitive exact
+    assert "and" not in out         # stop word
+    assert "x" not in out           # len <= 1
