@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction pipeline over sf0.001 documents
+                 (flat text -> span table -> layout/classify/FSM/entities).
+queries()      — one entry per operator family from SURVEY.md §2 plus the
+                 training-data-pipeline ops (dedup / similarity /
+                 textstats); each runs the package operators on the
+                 driver-provided parquet tables.
+oracle_sql()   — DuckDB twins. Column names and float rounding match the
+                 Spark side exactly (driver hashes values after sorting
+                 columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +16,624 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: full extraction pipeline on sf0.001 documents
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from document_parser_private_spark.plans.pipeline import extract_pipeline
+    from document_parser_private_spark.sources.text_docs import (
+        text_docs_to_span_table,
+    )
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    spans = text_docs_to_span_table(docs)
+    out = extract_pipeline(spans, with_resume=True)
+    return out.select(
+        "doc_id",
+        "blocks_kept",
+        "blocks_dropped",
+        F.col("summary"),
+        F.array_join("skills", ",").alias("skills_csv"),
+        F.size("clean_spans").cast("long").alias("n_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_contact_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 regex extraction over synthesized contact lines."""
+    from document_parser_private_spark.functions.contact import (
+        email_col, phone_col,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" :: "), F.col("text"),
+        ).alias("contact_text"),
+    )
+    return d.select(
+        "doc_id",
+        email_col(F.col("contact_text")).alias("email"),
+        phone_col(F.col("contact_text")).alias("phone"),
+    )
+
+
+def _q_summary_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 sentence-aware 500-char truncation (native)."""
+    from document_parser_private_spark.functions.text import summary_col
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        summary_col(F.concat(F.col("text"), F.lit(". tail end"))).alias("summary"),
+        )
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_parser_private_spark.operators.textstats import with_textstats
+    return with_textstats(_docs(spark, sf_dir)).select(
+        "doc_id", "tokens", "bpe_tokens", "quality_score", "lang_guess",
+        "fingerprint",
+    )
+
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 histogram: count by (lang, token)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("token"),
+    )
+    return toks.groupBy("lang", "token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def _q_dominant_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 arg-max: most frequent token per lang (deterministic tie-break)."""
+    hist = _q_token_histogram(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "token", "cnt")
+    )
+
+
+def _q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 distinct + sort, emitted as a joined string."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with synthetic duplicates (doc ∪ doc+10^6)."""
+    from document_parser_private_spark.operators.dedup import exact_dedup
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.union(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup(dup)
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + first LSH band key (shuffle-free, per-row)."""
+    from document_parser_private_spark.operators.dedup import with_minhash
+    return with_minhash(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("minhash_sig")[0].alias("minhash_0"),
+        F.col("minhash_sig")[15].alias("minhash_15"),
+        F.col("band_keys")[0].alias("band_0"),
+    )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_parser_private_spark.operators.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_parser_private_spark.operators.dedup import embedding_near_dups
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_parser_private_spark.operators.similarity import cosine_topk
+    return cosine_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_parser_private_spark.operators.similarity import lsh_buckets
+    return lsh_buckets(_emb(spark, sf_dir))
+
+
+def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J4: per-source micro P/R/F1 of doc token sets vs the source's
+    min-doc token set as ground truth."""
+    from document_parser_private_spark.operators.metrics import evaluation_metrics
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "source",
+        F.array_distinct(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("entities"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    truth = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("entities").alias("truth_entities"))
+    )
+    pred_with_truth = toks.join(truth, "source")
+    pred = pred_with_truth.select("doc_id", "source", "entities")
+    tru = pred_with_truth.select(
+        "doc_id", F.col("truth_entities").alias("entities")
+    )
+    return evaluation_metrics(pred, tru, group_col="source")
+
+
+def _q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate (A-family; partial agg + AQE)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_order_month_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 duration-in-months analogue over orders."""
+    o = _tbl(spark, sf_dir, "orders")
+    span = (
+        (F.year(F.max("o_orderdate")) - F.year(F.min("o_orderdate"))) * 12
+        + (F.month(F.max("o_orderdate")) - F.month(F.min("o_orderdate")))
+    )
+    return o.groupBy("o_custkey").agg(
+        span.cast("long").alias("month_span"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group."""
+    c = _tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment", "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: broadcast dims, one fact shuffle."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag: gaps > 30 min start a new session."""
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; go via TIMESTAMP (session tz pinned to UTC) so
+    # the epoch matches DuckDB's epoch() on the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def _q_pii_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22: salted sha256 8-hex hash of synthesized emails."""
+    from document_parser_private_spark.functions.pii import pii_hash_col
+    d = _docs(spark, sf_dir)
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    return d.select(
+        "doc_id", pii_hash_col(email).alias("email_hash")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "contact_extract": _q_contact_extract,
+        "summary_trunc": _q_summary_trunc,
+        "textstats": _q_textstats,
+        "token_histogram": _q_token_histogram,
+        "dominant_token": _q_dominant_token,
+        "distinct_sources": _q_distinct_sources,
+        "exact_dedup": _q_exact_dedup,
+        "minhash": _q_minhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_buckets": _q_lsh_buckets,
+        "eval_metrics": _q_eval_metrics,
+        "lineitem_agg": _q_lineitem_agg,
+        "order_month_span": _q_order_month_span,
+        "top_customers": _q_top_customers,
+        "region_revenue": _q_region_revenue,
+        "events_by_type": _q_events_by_type,
+        "event_sessions": _q_event_sessions,
+        "pii_hash": _q_pii_hash,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). regexp_replace needs the 'g' flag in DuckDB;
+# rounding mirrors the Spark side digit-for-digit.
+# ---------------------------------------------------------------------------
+
+_STOP_PAT = r"\b(the|a|of|and|to|in|is|it|for|on)\b"
+_LANGS_SQL = {
+    "en": r"\b(the|and|of|to|a|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+    "fr": r"\b(le|la|les|et|est|une|dans)\b",
+    "es": r"\b(el|los|las|es|una|para|por)\b",
+    "zh": r"\b(de|shi|bu|le|zai|you|he)\b",
+}
+
+_TEXTSTATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '\\S+')) AS tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+    len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stop_hits,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+    length(text) AS chars,
+    {', '.join(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANGS_SQL.items())}
+  FROM documents
+)
+SELECT doc_id,
+  tokens::BIGINT AS tokens,
+  bpe_tokens::BIGINT AS bpe_tokens,
+  round(
+    least(tokens / 100.0, 1.0) * 0.4
+    + least(stop_hits * 5.0 / greatest(tokens, 1), 1.0) * 0.3
+    + (1.0 - least(punct * 4.0 / greatest(chars, 1), 1.0)) * 0.3, 6
+  ) AS quality_score,
+  CASE
+    WHEN s_en >= greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
+    WHEN s_de >= greatest(s_de, s_fr, s_es, s_zh) AND s_de > 0 THEN 'de'
+    WHEN s_fr >= greatest(s_fr, s_es, s_zh) AND s_fr > 0 THEN 'fr'
+    WHEN s_es >= greatest(s_es, s_zh) AND s_es > 0 THEN 'es'
+    WHEN s_zh > 0 THEN 'zh'
+    ELSE 'und'
+  END AS lang_guess,
+  md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '^ | $', '', 'g')) AS fingerprint
+FROM base
+"""
+
+_SUMMARY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(text || '. tail end', '\\s+', ' ', 'g'),
+                   '^\\s+|\\s+$', '', 'g') AS cleaned
+  FROM documents
+), p AS (
+  SELECT doc_id, cleaned, substr(cleaned, 1, 500) AS prefix FROM c
+), r AS (
+  SELECT doc_id, cleaned, prefix,
+    CASE WHEN strpos(reverse(prefix), '.') > 0
+         THEN length(prefix) - strpos(reverse(prefix), '.') + 1
+         ELSE 0 END AS last_period
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN length(cleaned) <= 500 THEN cleaned
+       WHEN last_period > 1 THEN substr(cleaned, 1, last_period)
+       ELSE substr(cleaned, 1, 497) || '...' END AS summary
+FROM r
+"""
+
+_MINHASH_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)]
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM words
+), sig AS (
+  SELECT doc_id,
+    [list_min([md5(i::VARCHAR || '|' || s) for s in shingles])
+     for i in generate_series(0, 15)] AS sig
+  FROM sh
+)
+SELECT doc_id,
+  sig[1] AS minhash_0,
+  sig[16] AS minhash_15,
+  md5(sig[1] || ',' || sig[2]) AS band_0
+FROM sig
+"""
+
+_COSINE_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum([qvec[i] * vec[i] for i in generate_series(1, len(vec))])
+      / (sqrt(list_sum([x * x for x in qvec])) * sqrt(list_sum([x * x for x in vec]))),
+    6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+_LSH_BUCKETS_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+)
+SELECT vec_id,
+  array_to_string(
+    [CASE WHEN list_sum(
+        [vec[j + 1] * (CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7')
+                       THEN 1.0 ELSE -1.0 END)
+         for j in generate_series(0, 63)]) > 0
+     THEN '1' ELSE '0' END for p in generate_series(0, 7)], '') AS bucket
+FROM e
+"""
+
+_EVAL_METRICS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+    list_distinct(regexp_extract_all(text, '\\S+')) AS entities
+  FROM documents
+), truth AS (
+  SELECT source, entities AS truth_entities
+  FROM (SELECT source, entities,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM toks)
+  WHERE rn = 1
+), j AS (
+  SELECT t.source,
+    len(list_intersect(t.entities, u.truth_entities)) AS tp,
+    len(list_filter(t.entities, x -> NOT list_contains(u.truth_entities, x))) AS fp,
+    len(list_filter(u.truth_entities, x -> NOT list_contains(t.entities, x))) AS fn
+  FROM toks t JOIN truth u USING (source)
+), agg AS (
+  SELECT source, sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp,
+         sum(fn)::BIGINT AS fn
+  FROM j GROUP BY source
+)
+SELECT source, tp, fp, fn,
+  round(tp / greatest(tp + fp, 1), 6) AS precision,
+  round(tp / greatest(tp + fn, 1), 6) AS recall,
+  round(2.0 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+        / greatest(tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1), 1e-12), 6) AS f1
+FROM agg
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "contact_extract": """
+            WITH d AS (
+              SELECT doc_id,
+                'reach user' || doc_id::VARCHAR || '@example.com or 555-123-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' :: ' || text
+                AS contact_text
+              FROM documents
+            )
+            SELECT doc_id,
+              nullif(regexp_extract(contact_text,
+                '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b', 0), '') AS email,
+              nullif(regexp_extract(contact_text,
+                '(\\b\\d{3}[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b|\\+\\d{1,3}[-.\\s]?\\d{3,}[-.\\s]?\\d{4,})', 0), '') AS phone
+            FROM d
+        """,
+        "summary_trunc": _SUMMARY_SQL,
+        "textstats": _TEXTSTATS_SQL,
+        "token_histogram": """
+            SELECT lang, token, count(*)::BIGINT AS cnt
+            FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+                  FROM documents)
+            GROUP BY lang, token
+        """,
+        "dominant_token": """
+            WITH hist AS (
+              SELECT lang, token, count(*)::BIGINT AS cnt
+              FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+                    FROM documents)
+              GROUP BY lang, token
+            )
+            SELECT lang, token, cnt FROM (
+              SELECT lang, token, cnt,
+                row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+              FROM hist
+            ) WHERE rn = 1
+        """,
+        "distinct_sources": """
+            SELECT lang,
+              string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+              count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup": """
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT
+              md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                                 '^ | $', '', 'g')) AS fingerprint,
+              min(doc_id) AS keep_id,
+              count(*)::BIGINT AS dup_count
+            FROM dup GROUP BY 1
+        """,
+        "minhash": _MINHASH_SQL,
+        "jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, source AS bucket,
+                list_distinct(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.tok, b.tok))
+                / greatest(len(list_distinct(list_concat(a.tok, b.tok))), 1), 6) AS jaccard
+            FROM toks a JOIN toks b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.tok, b.tok))
+                / greatest(len(list_distinct(list_concat(a.tok, b.tok))), 1), 6) >= 0.5
+        """,
+        "near_dup_embeddings": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(
+                list_sum([a.vec[i] * b.vec[i] for i in generate_series(1, len(a.vec))])
+                / (sqrt(list_sum([x * x for x in a.vec]))
+                   * sqrt(list_sum([x * x for x in b.vec]))), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(
+                list_sum([a.vec[i] * b.vec[i] for i in generate_series(1, len(a.vec))])
+                / (sqrt(list_sum([x * x for x in a.vec]))
+                   * sqrt(list_sum([x * x for x in b.vec]))), 6) >= 0.35
+        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "lsh_buckets": _LSH_BUCKETS_SQL,
+        "eval_metrics": _EVAL_METRICS_SQL,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "order_month_span": """
+            SELECT o_custkey,
+              ((year(max(o_orderdate)) - year(min(o_orderdate))) * 12
+               + (month(max(o_orderdate)) - month(min(o_orderdate))))::BIGINT AS month_span,
+              count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "top_customers": """
+            SELECT c_mktsegment, c_custkey,
+              round(c_acctbal, 2) AS acctbal, rn::BIGINT AS rank
+            FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer
+            ) WHERE rn <= 3
+        """,
+        "region_revenue": """
+            SELECT r_name,
+              round(sum(o_totalprice), 2) AS revenue,
+              count(*)::BIGINT AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*)::BIGINT AS n,
+              round(avg(value), 6) AS avg_value,
+              round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id,
+                CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+              count(*)::BIGINT AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "pii_hash": """
+            SELECT doc_id,
+              substr(sha256('user' || doc_id::VARCHAR || '@example.com'
+                            || 'secure_salt_value'), 1, 8) AS email_hash
+            FROM documents
+        """,
+    }

@@ -1,0 +1,183 @@
+"""Deduplication operators (exact, MinHash+LSH, n-gram Jaccard,
+SimHash-distance, embedding-cosine) — core training-data-pipeline ops.
+
+Scale design notes (100 TB posture):
+  - exact dedup: one shuffle on the 16-byte fingerprint; AQE coalesces.
+  - MinHash signatures: computed entirely per-row with higher-order
+    functions (NO shuffle, no UDF); only the band explode + groupBy
+    shuffles, and it shuffles 8 small (band_idx, band_key) rows per doc
+    instead of full text.
+  - pairwise ops (jaccard, cosine) are always bucketed (same source /
+    label / LSH band) so the join is a bounded self-join per bucket,
+    never a global cross product.
+
+Hashes are md5 hex strings (not xxhash64) so every step has an exact
+DuckDB-SQL twin for the correctness oracle; swap HASH=xxhash64 for
+production throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint_col
+
+N_MINHASHES = 16
+N_BANDS = 8  # rows-per-band = N_MINHASHES // N_BANDS = 2
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint;
+    report the group size (A3-style distinct + arg-min)."""
+    fp = df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").cast("long").alias("dup_count"),
+    )
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """k-word shingles; whole text when shorter than k words."""
+    words = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.when(n >= k, shingles).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature_col(shingles: Column,
+                          n_hashes: int = N_MINHASHES) -> Column:
+    """array of n minhashes: sig[i] = min over shingles of
+    md5(i || '|' || shingle) — per-row, shuffle-free."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def band_keys_col(sig: Column, n_bands: int = N_BANDS,
+                  rows_per_band: int = N_MINHASHES // N_BANDS) -> Column:
+    """LSH band keys: md5 of the concatenated signature slice per band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",", F.slice(sig, b * rows_per_band + 1, rows_per_band)
+            )
+        ),
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text",
+                 k: int = 3) -> DataFrame:
+    shingles = word_shingles_col(F.col(text_col), k)
+    return df.withColumn("minhash_sig", minhash_signature_col(shingles)) \
+             .withColumn("band_keys", band_keys_col(F.col("minhash_sig")))
+
+
+def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    Shuffle carries only (id, band_idx, band_key)."""
+    banded = (
+        with_minhash(df, text_col)
+        .select(id_col, F.posexplode("band_keys").alias("band_idx", "band_key"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_token_col(a: Column, b: Column) -> Column:
+    """Jaccard over distinct-token sets, rounded to 6."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+
+
+def jaccard_pairs(df: DataFrame, bucket_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.5) -> DataFrame:
+    """n-gram(1) Jaccard between all doc pairs within a bucket (bounded
+    self-join; at scale bucket = LSH band from minhash_candidates)."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("bucket"),
+        F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard_token_col(F.col("a.tok"), F.col("b.tok")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine over array<double> (cast upstream), rounded to 6."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.round(dot / (norm(a) * norm(b)), 6)
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.35,
+                        bucket_col: str = "label",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs within a bucket (label / IVF cell /
+    LSH bucket at scale)."""
+    e = emb.select(
+        F.col(id_col), F.col(bucket_col).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_col(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

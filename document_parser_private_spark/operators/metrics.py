@@ -1,0 +1,53 @@
+"""Evaluation-metrics operators (SURVEY §2.4 A5, §2.3 J4).
+
+Set-based precision/recall/F1 of predicted vs ground-truth entity sets,
+joined on document id — the Spark form of the reference's
+testing/accuracy_benchmark/evaluation_metrics.py:10-50 (pd.merge +
+set intersections), expressed as array_intersect/except + an equi-join,
+aggregated micro-style per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def evaluation_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "entities",
+    group_col: str | None = None,
+) -> DataFrame:
+    """pred(id, entities array), truth(id, entities array) ->
+    micro precision/recall/f1 (rounded to 6) per group (or global)."""
+    p = pred.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(set_col).alias("pred_set"),
+    )
+    t = truth.select(F.col(id_col), F.col(set_col).alias("true_set"))
+    j = p.join(t, id_col, "inner")
+    j = j.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.size(F.array_intersect("pred_set", "true_set")).alias("tp"),
+        F.size(F.array_except("pred_set", "true_set")).alias("fp"),
+        F.size(F.array_except("true_set", "pred_set")).alias("fn"),
+    )
+    keys = [group_col] if group_col else []
+    agg = j.groupBy(*keys).agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+    )
+    precision = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    recall = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = 2 * precision * recall / F.greatest(precision + recall, F.lit(1e-12))
+    return agg.select(
+        *keys,
+        "tp", "fp", "fn",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

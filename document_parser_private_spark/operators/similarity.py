@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns.
+
+  cosine_topk    — brute-force top-k (the exact baseline): broadcast the
+                   small query set against the full table; one window per
+                   query partition. At 100 TB the broadcast side stays
+                   small (queries), the big side streams — no shuffle of
+                   the corpus.
+  lsh_buckets    — hyperplane-LSH bucketing (the scale path): per-row
+                   native expressions compute an 8-bit signature; ANN
+                   search = equi-join on bucket, then exact re-rank inside
+                   the bucket only.
+
+Hyperplane signs derive from md5 parity so the DuckDB oracle can compute
+the identical planes (no RNG, no collected state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col
+
+N_PLANES = 8
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbours of the first n_queries vectors (self-query,
+    excluding identity). Deterministic tie-break on (cosine desc, id asc)."""
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    q = e.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_col(F.col("qvec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _plane_sign(p: Column, j: Column) -> Column:
+    """Deterministic ±1: parity of the first hex digit of md5('p_j')."""
+    digit = F.substring(
+        F.md5(F.concat(p.cast("string"), F.lit("_"), j.cast("string"))), 1, 1
+    )
+    return F.when(
+        digit.isin("0", "1", "2", "3", "4", "5", "6", "7"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket_col(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """8-char '0'/'1' signature: bit p = [dot(vec, plane_p) > 0]."""
+    def bit(p: Column) -> Column:
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: _plane_sign(p, j)
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), bit)
+    )
+
+
+def lsh_buckets(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return e.select(
+        F.col(id_col),
+        lsh_bucket_col(F.col("vec"), dim, n_planes).alias("bucket"),
+    )
+
+
+def ann_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: restrict the exact re-rank to the query's LSH bucket."""
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("bucket", lsh_bucket_col(F.col("vec"), dim))
+    q = e.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_col(F.col("qvec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path functions are native Column expressions (JVM regex, codegen);
+simhash is the one numpy-vectorized pandas UDF (bit arithmetic over token
+hashes). Each has a DuckDB-SQL-expressible twin in __spark_entry__ for the
+correctness oracle.
+
+Deterministic formulas (authoritative definitions for this engine):
+  tokens         — count of \\S+ runs
+  bpe_tokens     — count of [A-Za-z]+ | [0-9]+ | single other non-space
+                   (BPE-ish pre-tokenizer regex)
+  quality_score  — 0.4*min(words/100,1) + 0.3*min(5*stop_hits/words,1)
+                   + 0.3*(1 - min(4*punct/chars,1)), rounded to 6
+  lang_guess     — argmax of per-language marker-word hit counts,
+                   priority en>de>fr>es>zh on ties, 'und' when all zero
+  fingerprint    — md5 of lowercased whitespace-normalized text
+  simhash64      — 64-bit majority-vote over md5-derived token hashes
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+WORD_RE = r"\S+"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "para", "por"),
+    "zh": ("de", "shi", "bu", "le", "zai", "you", "he"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0))).cast("long")
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0))).cast("long")
+
+
+def _hits(text: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def quality_score_col(text: Column) -> Column:
+    words = token_count_col(text).cast("double")
+    stop_hits = _hits(text, STOPWORDS_EN).cast("double")
+    punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("double")
+    chars = F.length(text).cast("double")
+    w = F.greatest(words, F.lit(1.0))
+    c = F.greatest(chars, F.lit(1.0))
+    score = (
+        F.least(words / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_hits * 5.0 / w, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct * 4.0 / c, F.lit(1.0))) * 0.3
+    )
+    return F.round(score, 6)
+
+
+def lang_guess_col(text: Column) -> Column:
+    scores = {lang: _hits(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint_col(text: Column) -> Column:
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"\s+", " "), r"^ | $", ""
+    )
+    return F.md5(normalized)
+
+
+def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("tokens", token_count_col(t))
+        .withColumn("bpe_tokens", bpe_token_count_col(t))
+        .withColumn("quality_score", quality_score_col(t))
+        .withColumn("lang_guess", lang_guess_col(t))
+        .withColumn("fingerprint", fingerprint_col(t))
+    )
+
+
+def _simhash64(text: str) -> int:
+    """64-bit simhash: per-token md5-derived 64-bit hash, majority vote
+    per bit. Deterministic, library-free."""
+    if not text:
+        return 0
+    counts = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if counts[b] > 0:
+            out |= 1 << b
+    # wrap to signed int64 for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    return text.apply(lambda t: _simhash64(t or ""))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash64_udf(F.col(text_col)))
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
