@@ -143,13 +143,16 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + first LSH band key (shuffle-free, per-row)."""
-    from document_parser_private_spark.operators.dedup import with_minhash
-    return with_minhash(_docs(spark, sf_dir)).select(
+    """MinHash signatures + first LSH band key (explode + codegen min-agg)."""
+    from document_parser_private_spark.operators.dedup import (
+        minhash_signatures_agg,
+    )
+    sig = minhash_signatures_agg(_docs(spark, sf_dir))
+    return sig.select(
         "doc_id",
-        F.col("minhash_sig")[0].alias("minhash_0"),
-        F.col("minhash_sig")[15].alias("minhash_15"),
-        F.col("band_keys")[0].alias("band_0"),
+        F.col("mh_0").alias("minhash_0"),
+        F.col("mh_15").alias("minhash_15"),
+        F.md5(F.concat_ws(",", "mh_0", "mh_1")).alias("band_0"),
     )
 
 

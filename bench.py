@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf", plus extraction docs/sec extras}.
+
+Headline = the extraction pipeline itself (north_star metric is docs/sec)
+over a deterministic synthetic interleaved corpus sized by sf, plus the
+heaviest analytics queries from __spark_entry__ at the sf tables.
+Forced with a noop sink (full computation, no disk write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_path(sf: float) -> str:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    n_docs = max(2000, int(200_000 * sf))
+    path = os.path.join(BENCH_DIR, f"corpus_{n_docs}.parquet")
+    if not os.path.exists(path):
+        from document_parser_private_spark.corpus import write_corpus_parquet
+        write_corpus_parquet(path, n=n_docs, seed=42)
+    return path
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    from document_parser_private_spark.session import get_spark
+    from document_parser_private_spark.plans.pipeline import extract_pipeline
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    cpath = corpus_path(sf)
+    corpus = spark.read.parquet(cpath)
+    n_docs = corpus.count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    force(extract_pipeline(corpus, num_partitions=cpus))
+    timings["extract_pipeline"] = round(time.perf_counter() - t0, 3)
+    docs_per_sec = round(n_docs / timings["extract_pipeline"], 1)
+
+    qs = E.queries()
+    for name in (
+        "textstats", "minhash", "jaccard_pairs", "exact_dedup",
+        "cosine_topk", "lsh_buckets", "eval_metrics", "lineitem_agg",
+        "region_revenue", "event_sessions", "token_histogram",
+    ):
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+analytics wall time (headline: extraction docs/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction_docs": n_docs,
+        "extraction_docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,14 +84,53 @@ def with_minhash(df: DataFrame, text_col: str = "text",
              .withColumn("band_keys", band_keys_col(F.col("minhash_sig")))
 
 
+def minhash_signatures_agg(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           n_hashes: int = N_MINHASHES) -> DataFrame:
+    """MinHash signature via explode + grouped min aggregates.
+
+    Preferred at scale over the pure-expression variant: higher-order
+    function trees are interpreted (no codegen) and get re-evaluated per
+    consuming expression after project collapse, while `min()` aggregates
+    run in whole-stage codegen with partial (map-side) aggregation — the
+    shuffle carries one row per (doc, n_hashes) partial, not the shingles.
+    Output: id, mh_0..mh_{n-1} columns.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(F.col(text_col), k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands_agg(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      n_bands: int = N_BANDS,
+                      rows_per_band: int = N_MINHASHES // N_BANDS) -> DataFrame:
+    """id -> exploded (band_idx, band_key) rows, via the agg signature."""
+    sig = minhash_signatures_agg(df, text_col, id_col, k)
+    bands = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]))
+        for b in range(n_bands)
+    ])
+    return sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
+    )
+
+
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     Shuffle carries only (id, band_idx, band_key)."""
-    banded = (
-        with_minhash(df, text_col)
-        .select(id_col, F.posexplode("band_keys").alias("band_idx", "band_key"))
-    )
+    banded = minhash_bands_agg(df, text_col, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -34,6 +34,9 @@ from ..functions.text import summary_col, split_entries_col
 from ..oracle import build_skill_index
 
 _LOWER, _V2C, _INDEX = build_skill_index(SKILLS_ONTOLOGY)
+# phrase-level fuzzy memo, shared across Arrow batches within the Python
+# worker (bounded; see semantics.normalize_skill)
+_MEMO: dict = {}
 
 EDUCATION_TYPE = T.ArrayType(T.StructType([
     T.StructField("institution", T.StringType()),
@@ -63,7 +66,7 @@ PROJECTS_TYPE = T.ArrayType(T.StructType([
 @pandas_udf(T.ArrayType(T.StringType()))
 def _skills_udf(text: pd.Series) -> pd.Series:
     return text.apply(
-        lambda t: S.extract_skills(t or "", _LOWER, _V2C, _INDEX)
+        lambda t: S.extract_skills(t or "", _LOWER, _V2C, _INDEX, memo=_MEMO)
     )
 
 
@@ -80,6 +83,7 @@ def _experience_udf(text: pd.Series) -> pd.Series:
             skill_lower_index=_LOWER,
             skill_var2canon=_V2C,
             skill_index=_INDEX,
+            memo=_MEMO,
         )
     )
 
@@ -92,6 +96,7 @@ def _projects_udf(text: pd.Series) -> pd.Series:
             skill_lower_index=_LOWER,
             skill_var2canon=_V2C,
             skill_index=_INDEX,
+            memo=_MEMO,
         )
     )
 

@@ -505,14 +505,73 @@ def wratio(a: str, b: str) -> float:
     return max(base, token_part)
 
 
+def _token_lens(s: str) -> tuple[frozenset[str], int, int]:
+    """(token set, len of sorted-unique-token join, len of sorted-all-token
+    join) for the lowercased string — the exact string lengths token_set_
+    ratio and token_sort_ratio operate on."""
+    toks = s.lower().split()
+    tset = frozenset(toks)
+    uniq_len = len(" ".join(sorted(tset)))
+    sort_len = len(" ".join(sorted(toks)))
+    return tset, uniq_len, sort_len
+
+
+_INDEX_TOKENS_CACHE: dict[int, list[tuple[frozenset[str], int, int]]] = {}
+
+
+def _index_token_lens(index: list[str]) -> list[tuple[frozenset[str], int, int]]:
+    key = id(index)
+    toks = _INDEX_TOKENS_CACHE.get(key)
+    if toks is None or len(toks) != len(index):
+        toks = [_token_lens(c) for c in index]
+        _INDEX_TOKENS_CACHE[key] = toks
+    return toks
+
+
+def _len_bound(la: int, lb: int) -> float:
+    """Upper bound of the indel similarity of strings with these lengths."""
+    if la == 0 or lb == 0:
+        return 100.0 if la == lb else 0.0
+    return 200.0 * min(la, lb) / (la + lb)
+
+
 def best_fuzzy_match(
     query: str, index: list[str], threshold: float
 ) -> Optional[str]:
     """extractOne equivalent: argmax wratio >= threshold, ties -> first in
-    index order (matches the public extractOne tie behavior)."""
+    index order (matches the public extractOne tie behavior).
+
+    Pruned with EXACT upper bounds so results are identical to the naive
+    scan: wratio = max(base, 0.95 * token_part) where
+      base       ≤ len_bound(la, lb)
+      token_part ≤ 100 when the token sets intersect (token_set can hit
+                   100 on any shared token) -> ub 95
+      token_part ≤ max(len_bound over the sorted-unique strings,
+                   len_bound over the sorted-all-token strings) when the
+                   token sets are disjoint (those are the exact strings
+                   the token ratios compare; empty intersection removes
+                   the 100 shortcut)
+    Candidates whose bound cannot STRICTLY beat the current best are
+    skipped (extractOne keeps the first of equals), pruning ~98% of the
+    DP on bullet-like phrases that share one token with the index.
+    """
+    q_tokens, q_uniq, q_sort = _token_lens(query)
+    lq = len(query)
     best_score = -1.0
     best: Optional[str] = None
-    for cand in index:
+    for cand, (c_tokens, c_uniq, c_sort) in zip(
+        index, _index_token_lens(index)
+    ):
+        base_bound = _len_bound(lq, len(cand))
+        if q_tokens & c_tokens:
+            token_bound = 95.0
+        else:
+            token_bound = 0.95 * max(
+                _len_bound(q_uniq, c_uniq), _len_bound(q_sort, c_sort)
+            )
+        ub = max(base_bound, token_bound)
+        if ub <= best_score:
+            continue
         s = wratio(query, cand)
         if s > best_score:
             best_score = s
@@ -643,27 +702,41 @@ def normalize_skill(
     variant_to_canonical: dict[str, str],
     index: list[str],
     threshold: float = 80.0,
+    memo: Optional[dict[str, Optional[str]]] = None,
 ) -> Optional[str]:
     """Single-skill normalization (skill_normalizer.py:47-81): strip
     category labels + parentheticals, exact case-insensitive lookup, fuzzy
-    fallback, else passthrough."""
+    fallback, else passthrough. `memo` (phrase -> result) amortizes the
+    fuzzy scan across an Arrow batch; callers own its lifetime."""
     if skill is None:
         return None
     if skill == "":
         return ""
     if not skill.strip():
         return skill
+    if memo is not None:
+        hit = memo.get(skill)
+        if hit is not None or skill in memo:
+            return hit
+        original = skill
     for label in SKILL_CATEGORY_LABELS:
         skill = re.sub(f"^{label}:\\s*", "", skill)
     skill = re.sub(r"\([^)]*\)", "", skill).strip()
     low = skill.lower()
     if low in lower_index:
-        original = lower_index[low]
-        return variant_to_canonical.get(original, original)
-    match = best_fuzzy_match(skill, index, threshold)
-    if match is not None:
-        return variant_to_canonical.get(match, match)
-    return skill
+        hit = lower_index[low]
+        result = variant_to_canonical.get(hit, hit)
+    else:
+        match = best_fuzzy_match(skill, index, threshold)
+        if match is not None:
+            result = variant_to_canonical.get(match, match)
+        else:
+            result = skill
+    if memo is not None:
+        if len(memo) > 200_000:
+            memo.clear()
+        memo[original] = result
+    return result
 
 
 def extract_skills(
@@ -672,6 +745,7 @@ def extract_skills(
     variant_to_canonical: dict[str, str],
     index: list[str],
     threshold: float = 80.0,
+    memo: Optional[dict[str, Optional[str]]] = None,
 ) -> list[str]:
     """Skills pipeline, deterministic path (entity_extractor.py:93-126
     without NER): split on delimiters, drop len<=1/pure digits, normalize,
@@ -684,7 +758,8 @@ def extract_skills(
         if len(phrase) <= 1 or phrase.isdigit():
             continue
         norm = normalize_skill(
-            phrase, lower_index, variant_to_canonical, index, threshold
+            phrase, lower_index, variant_to_canonical, index, threshold,
+            memo=memo,
         )
         if norm:
             normalized.add(norm)
@@ -972,6 +1047,7 @@ def extract_experience_entries(
     skill_var2canon: dict[str, str] | None = None,
     skill_index: list[str] | None = None,
     as_of: date = AS_OF,
+    memo: Optional[dict[str, Optional[str]]] = None,
 ) -> list[dict]:
     """entity_extractor.py:159-189, deterministic path. Dates stringified
     like the reference (str(date) -> ISO)."""
@@ -981,7 +1057,8 @@ def extract_experience_entries(
         technologies: list[str] = []
         if skill_index is not None:
             technologies = extract_skills(
-                entry, skill_lower_index or {}, skill_var2canon or {}, skill_index
+                entry, skill_lower_index or {}, skill_var2canon or {},
+                skill_index, memo=memo,
             )
         entries.append({
             "company": normalize_company(extract_company_raw(entry) or "", companies),
@@ -1000,6 +1077,7 @@ def extract_project_entries(
     skill_lower_index: dict[str, str] | None = None,
     skill_var2canon: dict[str, str] | None = None,
     skill_index: list[str] | None = None,
+    memo: Optional[dict[str, Optional[str]]] = None,
 ) -> list[dict]:
     """entity_extractor.py:217-271, deterministic path."""
     projects = []
@@ -1010,7 +1088,8 @@ def extract_project_entries(
         technologies: list[str] = []
         if description and skill_index is not None:
             technologies = extract_skills(
-                description, skill_lower_index or {}, skill_var2canon or {}, skill_index
+                description, skill_lower_index or {}, skill_var2canon or {},
+                skill_index, memo=memo,
             )
         projects.append({
             "name": name,

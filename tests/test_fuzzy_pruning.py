@@ -1,0 +1,51 @@
+"""Property test: the pruned best_fuzzy_match is EXACTLY the naive argmax
+scan (the upper bounds must never skip a winning candidate)."""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from document_parser_private_spark import semantics as S
+
+
+def naive_best(query, index, threshold):
+    best_score, best = -1.0, None
+    for cand in index:
+        s = S.wratio(query, cand)
+        if s > best_score:
+            best_score, best = s, cand
+    return best if best is not None and best_score >= threshold else None
+
+
+WORDS = ["python", "java", "spark", "docker", "aws", "sql", "dev",
+         "senior", "3", "x", "batch", "job", "maintained", "using",
+         "pythn", "jva", "sprk"]
+
+
+@st.composite
+def phrase(draw):
+    n = draw(st.integers(1, 6))
+    return " ".join(draw(st.sampled_from(WORDS)) for _ in range(n))
+
+
+@given(
+    q=phrase(),
+    idx=st.lists(phrase(), min_size=1, max_size=20),
+    thr=st.sampled_from([60.0, 80.0, 85.0, 90.0]),
+)
+@settings(max_examples=300, deadline=None)
+def test_pruned_equals_naive(q, idx, thr):
+    assert S.best_fuzzy_match(q, idx, thr) == naive_best(q, idx, thr)
+
+
+def test_pruned_equals_naive_random_chars():
+    rng = random.Random(1)
+    alphabet = "abcdef ghij"
+    for _ in range(300):
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 25)))
+        idx = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 25)))
+            for _ in range(rng.randint(1, 15))
+        ]
+        thr = rng.choice([50.0, 75.0, 80.0, 90.0])
+        assert S.best_fuzzy_match(q, idx, thr) == naive_best(q, idx, thr), (q, idx, thr)
