@@ -38,14 +38,15 @@ def repartition_salted(
     df: DataFrame,
     num_partitions: int | None = None,
     heavy_bytes: int = HEAVY_BYTES,
-    heavy_buckets: int = HEAVY_BUCKETS,
+    heavy_buckets: int | None = None,
 ) -> DataFrame:
     """Salted repartition on doc byte-size buckets (north_star skew rule).
 
     Light docs hash uniformly over all partitions; heavy docs get an
-    independent salt so a burst of giants in one input partition cannot
-    pile onto one task. byte_size is computed when absent (cheap proxy:
-    sum of span text lengths, computed natively).
+    independent salt spread over ALL partitions (heavy_buckets defaults to
+    num_partitions — capping it below the core count turns the giant-doc
+    tail into a straggler ceiling and destroys N->4N scaling). byte_size
+    is computed when absent (cheap native proxy: sum of span text lengths).
     """
     if "byte_size" not in df.columns:
         df = df.withColumn(
@@ -57,9 +58,10 @@ def repartition_salted(
             ),
         )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    hb = heavy_buckets or n
     salt = F.when(
         F.col("byte_size") > heavy_bytes,
-        F.concat(F.lit("H"), F.pmod(F.xxhash64("doc_id"), F.lit(heavy_buckets))),
+        F.concat(F.lit("H"), F.pmod(F.xxhash64("doc_id"), F.lit(hb))),
     ).otherwise(
         F.concat(F.lit("L"), F.pmod(F.xxhash64("doc_id"), F.lit(n * 4)))
     )

@@ -136,6 +136,16 @@ _COMPILED_SECTIONS: dict[str, tuple[re.Pattern, ...]] = {
     for name, pats in SECTION_PATTERNS.items()
 }
 
+# One alternation of every section pattern, used as a cheap pre-filter:
+# most body lines match nothing, so a single search replaces ~60. The
+# ordered per-section scan only runs on pre-filter hits (same result).
+_ANY_SECTION_RE = re.compile(
+    "|".join(
+        f"(?:{p})" for pats in SECTION_PATTERNS.values() for p in pats
+    ),
+    re.IGNORECASE,
+)
+
 DATE_LINE_PATTERNS = (
     r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}\s*[-–]\s*"
     r"(?:(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{4}|Present|Current)\b",
@@ -163,22 +173,30 @@ def match_section_heading(text: str) -> Optional[str]:
     """
     if not text:
         return None
-    for section, patterns in _COMPILED_SECTIONS.items():
-        for pat in patterns:
-            if pat.search(text):
-                return section
-    if text.endswith(":") or text.isupper():
-        clean = text.rstrip(":")
+    if _ANY_SECTION_RE.search(text):
         for section, patterns in _COMPILED_SECTIONS.items():
             for pat in patterns:
-                if pat.search(clean):
+                if pat.search(text):
                     return section
+    if text.endswith(":") or text.isupper():
+        clean = text.rstrip(":")
+        if _ANY_SECTION_RE.search(clean):
+            for section, patterns in _COMPILED_SECTIONS.items():
+                for pat in patterns:
+                    if pat.search(clean):
+                        return section
     return None
 
 
+_ANY_DATE_LINE_RE = re.compile(
+    "|".join(f"(?:{p})" for p in DATE_LINE_PATTERNS), re.IGNORECASE
+)
+
+
 def contains_date_pattern(text: str) -> bool:
-    """Date-range predicate (section_detector.py:151-161)."""
-    return any(p.search(text) for p in _COMPILED_DATE_LINES)
+    """Date-range predicate (section_detector.py:151-161); single combined
+    search — the three alternatives are disjoint so or-ing is equivalent."""
+    return _ANY_DATE_LINE_RE.search(text) is not None
 
 
 def detect_sections(lines: list[str]) -> dict[str, str]:
@@ -191,7 +209,7 @@ def detect_sections(lines: list[str]) -> dict[str, str]:
     matched at all, everything lands in a synthetic 'content' section
     (section_detector.py:94-100).
     """
-    sections: dict[str, str] = {name: "" for name in SECTION_NAMES}
+    parts: dict[str, list[str]] = {name: [] for name in SECTION_NAMES}
     current: Optional[str] = None
     for raw in lines:
         line = raw.strip()
@@ -200,13 +218,16 @@ def detect_sections(lines: list[str]) -> dict[str, str]:
         hit = match_section_heading(line)
         if hit:
             current = hit
-            sections[current] += line + "\n"
+            parts[current].append(line)
         elif contains_date_pattern(line):
             if current not in ("experience", "education"):
                 current = "experience"
-            sections[current] += line + "\n"
+            parts[current].append(line)
         elif current:
-            sections[current] += line + "\n"
+            parts[current].append(line)
+    sections: dict[str, str] = {
+        name: ("\n".join(ps) + "\n" if ps else "") for name, ps in parts.items()
+    }
     if not any(v.strip() for v in sections.values()):
         sections["content"] = "\n".join(
             ln.strip() for ln in lines if ln.strip()
@@ -438,6 +459,29 @@ def duration_months(start: Optional[date], end: Optional[date], as_of: date = AS
 # max used by the public implementations.
 
 
+def _lcs_len(a: str, b: str) -> int:
+    """LCS length via the Allison–Dix bit-vector algorithm: O(len(b))
+    big-int operations instead of the O(len(a)*len(b)) DP (fuzz-verified
+    against the DP). Builds the match mask over the shorter string."""
+    if len(b) < len(a):
+        a, b = b, a
+    m = len(a)
+    if m == 0:
+        return 0
+    pm: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        pm[ch] = pm.get(ch, 0) | bit
+        bit <<= 1
+    mask = bit - 1
+    s = mask
+    get = pm.get
+    for ch in b:
+        u = s & get(ch, 0)
+        s = ((s + u) | (s - u)) & mask
+    return m - s.bit_count()
+
+
 def _indel_ratio(a: str, b: str) -> float:
     """Normalized indel similarity in [0,100] (LCS-based)."""
     if not a and not b:
@@ -445,22 +489,7 @@ def _indel_ratio(a: str, b: str) -> float:
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0.0
-    # LCS length via DP on the shorter string's axis
-    if lb > la:
-        a, b = b, a
-        la, lb = lb, la
-    prev = [0] * (lb + 1)
-    for i in range(1, la + 1):
-        cur = [0] * (lb + 1)
-        ca = a[i - 1]
-        for j in range(1, lb + 1):
-            if ca == b[j - 1]:
-                cur[j] = prev[j - 1] + 1
-            else:
-                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
-        prev = cur
-    lcs = prev[lb]
-    return 200.0 * lcs / (la + lb)
+    return 200.0 * _lcs_len(a, b) / (la + lb)
 
 
 def fuzz_ratio(a: str, b: str) -> float:
@@ -477,6 +506,9 @@ def token_set_ratio(a: str, b: str) -> float:
     ta, tb = set(a.lower().split()), set(b.lower().split())
     if not ta or not tb:
         return _indel_ratio(a.lower(), b.lower())
+    if ta <= tb or tb <= ta:
+        # one combined string equals the intersection -> ratio 100
+        return 100.0
     inter = " ".join(sorted(ta & tb))
     sa = " ".join(sorted(ta))
     sb = " ".join(sorted(tb))
@@ -499,7 +531,11 @@ def wratio(a: str, b: str) -> float:
     if la == 0 or lb == 0:
         return base
     len_ratio = max(la, lb) / min(la, lb)
-    token_part = max(token_sort_ratio(a, b), token_set_ratio(a, b)) * 0.95
+    tset = token_set_ratio(a, b)
+    if tset >= 100.0:
+        token_part = 95.0  # token_sort <= 100 can't raise the max
+    else:
+        token_part = max(token_sort_ratio(a, b), tset) * 0.95
     if len_ratio >= 8:
         token_part *= 0.6 / 0.95
     return max(base, token_part)
@@ -557,10 +593,10 @@ def best_fuzzy_match(
     """
     q_tokens, q_uniq, q_sort = _token_lens(query)
     lq = len(query)
-    best_score = -1.0
-    best: Optional[str] = None
-    for cand, (c_tokens, c_uniq, c_sort) in zip(
-        index, _index_token_lens(index)
+    idx_lens = _index_token_lens(index)
+    bounds = []
+    for pos, (cand, (c_tokens, c_uniq, c_sort)) in enumerate(
+        zip(index, idx_lens)
     ):
         base_bound = _len_bound(lq, len(cand))
         if q_tokens & c_tokens:
@@ -569,15 +605,25 @@ def best_fuzzy_match(
             token_bound = 0.95 * max(
                 _len_bound(q_uniq, c_uniq), _len_bound(q_sort, c_sort)
             )
-        ub = max(base_bound, token_bound)
-        if ub <= best_score:
-            continue
-        s = wratio(query, cand)
-        if s > best_score:
+        bounds.append(max(base_bound, token_bound))
+    # evaluate in descending-bound order; stop once no remaining bound can
+    # reach the best score. Tie semantics preserved exactly: equal scores
+    # resolve to the smallest index position (extractOne first-wins).
+    order = sorted(range(len(index)), key=lambda i: -bounds[i])
+    best_score = -1.0
+    best_pos = -1
+    for i in order:
+        ub = bounds[i]
+        if ub < best_score:
+            break
+        if ub == best_score and best_pos != -1 and i > best_pos:
+            continue  # a tie at larger position can't win
+        s = wratio(query, index[i])
+        if s > best_score or (s == best_score and (best_pos == -1 or i < best_pos)):
             best_score = s
-            best = cand
-    if best is not None and best_score >= threshold:
-        return best
+            best_pos = i
+    if best_pos != -1 and best_score >= threshold:
+        return index[best_pos]
     return None
 
 

@@ -41,10 +41,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # small enough that each UDF task streams several batches (JVM
+        # Arrow serialization overlaps Python compute), large enough to
+        # amortize per-batch overhead; giant docs (~100KB spans) keep a
+        # batch well under executor memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # local corpora are few-MB shards; the 128MB default packs the
+        # whole scan into 2-3 map tasks and serializes the shuffle-write
+        # side. 16MB/64KB keeps scan parallelism ~cores at bench sizes
+        # while remaining sane for big files (cluster deployments override
+        # via spark-submit conf).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "65536")
         # partitionOverwriteMode=dynamic -> idempotent overwrite-by-partition,
         # the checkpoint/resume correctness primitive (plans/checkpoint.py).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

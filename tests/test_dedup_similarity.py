@@ -1,0 +1,91 @@
+"""Dedup + similarity operators: planted near-duplicates must be found."""
+
+from pyspark.sql import functions as F
+
+from document_parser_private_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+)
+from document_parser_private_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    lsh_buckets,
+)
+
+
+def _docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "a"),
+        (2, "the quick brown fox jumps over the lazy dog today", "a"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat today", "a"),  # near dup
+        (4, "completely different words about spark query engines", "a"),
+        (5, "unrelated text mentioning benchmarks and parquet files", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs_with_dups(spark)
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(d).collect()}
+    assert out[1] == 2          # docs 1+2 collapse
+    assert sum(out.values()) == 5
+
+
+def test_minhash_candidates_find_near_dup(spark):
+    d = _docs_with_dups(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidates(d).collect()}
+    assert (1, 2) in pairs      # identical docs share every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # 1-word-off shares a band
+    assert (4, 5) not in pairs
+
+
+def test_jaccard_pairs_threshold(spark):
+    d = _docs_with_dups(spark)
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(d, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 <= out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_embedding_near_dups_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    dups = {(r["id_a"], r["id_b"]) for r in
+            embedding_near_dups(emb, threshold=0.9).collect()}
+    assert dups == {(0, 1)}
+
+    topk = cosine_topk(emb, n_queries=1, k=2).collect()
+    assert [r["neighbor_id"] for r in topk] == [1, 2]
+    assert topk[0]["cosine"] > 0.99
+
+
+def test_ann_matches_bruteforce_within_bucket(spark):
+    import random
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in lsh_buckets(emb, dim=16).collect()}
+    ann = ann_topk(emb, n_queries=3, k=5, dim=16).collect()
+    brute = cosine_topk(emb, n_queries=3, k=79).collect()
+    brute_rank = {}
+    for r in brute:
+        brute_rank[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    for r in ann:
+        # every ANN hit shares the query's bucket and has the exact cosine
+        assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
+        assert brute_rank[(r["query_id"], r["neighbor_id"])] == r["cosine"]
