@@ -306,6 +306,103 @@ def _q_pii_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEGREE_SAMPLES = ["B.S.", "MBA", "Masters of Business Admin",
+                   "BSc Computer Science", "MS in Computer Science",
+                   "PhD", "Engineering Degree", "unknown cert"]
+_TITLE_SAMPLES = ["Sr. SWE", "Jr. Dev", "Tech Lead", "VP",
+                  "Sr. Tech Lead", "Plain Title", "SDE", "Mgr."]
+_DATE_SAMPLES = ["Sep 2020", "Q1 2023", "2024", "May2023",
+                 "Present", "no date at all", "2020-07-15", "05/2021"]
+_GPA_SAMPLES = ["GPA: 3.5/4.0", "3.8", "GPA 3.5 on a 4.0 scale",
+                "GPA: 3.9 out of 4", "no gpa here", "score 2.75 overall",
+                "4.0", "gpa unknown"]
+
+
+def _sample_col(samples: list[str]):
+    arr = F.array(*[F.lit(s) for s in samples])
+    return F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(len(samples))) + 1).cast("int"))
+
+
+def _q_degree_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13 degree abbreviation expansion + grammar chain (native)."""
+    from document_parser_private_spark.functions.education import expand_degree_col
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_DEGREE_SAMPLES).alias("raw_degree")
+    )
+    return d.select(
+        "doc_id", "raw_degree", expand_degree_col(F.col("raw_degree")).alias("degree")
+    )
+
+
+def _q_title_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 two-pass title abbreviation expansion (native)."""
+    from document_parser_private_spark.functions.experience import expand_title_col
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_TITLE_SAMPLES).alias("raw_title")
+    )
+    return d.select(
+        "doc_id", "raw_title", expand_title_col(F.col("raw_title")).alias("title")
+    )
+
+
+def _q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 deterministic date-parse subset (native)."""
+    from document_parser_private_spark.functions.dates import parse_date_col
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_DATE_SAMPLES).alias("raw_date")
+    )
+    return d.select(
+        "doc_id", "raw_date", parse_date_col(F.col("raw_date")).alias("parsed")
+    )
+
+
+def _q_gpa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 GPA extract with scale-indicator veto (native)."""
+    from document_parser_private_spark.functions.education import gpa_col
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_GPA_SAMPLES).alias("raw_gpa")
+    )
+    return d.select("doc_id", "raw_gpa", gpa_col(F.col("raw_gpa")).alias("gpa"))
+
+
+def _q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 email masking (native)."""
+    from document_parser_private_spark.functions.pii import mask_email_col
+    d = _docs(spark, sf_dir)
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    return d.select(
+        "doc_id", mask_email_col(email).alias("masked_email")
+    )
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming-compatible agg)."""
+    from document_parser_private_spark.streaming.stream import (
+        windowed_event_counts,
+    )
+    e = _tbl(spark, sf_dir, "events")
+    out = windowed_event_counts(e)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "avg_value",
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 fingerprints (pandas UDF; rows-only driver check —
+    bit-level majority vote is not expressible in DuckDB SQL)."""
+    from document_parser_private_spark.operators.textstats import with_simhash
+    return with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (rows-only: bucket-restricted neighbor set)."""
+    from document_parser_private_spark.operators.similarity import ann_topk
+    return ann_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -328,6 +425,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "event_sessions": _q_event_sessions,
         "pii_hash": _q_pii_hash,
+        "degree_expansion": _q_degree_expansion,
+        "title_expansion": _q_title_expansion,
+        "date_parse": _q_date_parse,
+        "gpa_extract": _q_gpa_extract,
+        "pii_mask": _q_pii_mask,
+        "event_windows": _q_event_windows,
+        "simhash": _q_simhash,
+        "ann_topk": _q_ann_topk,
     }
 
 
@@ -485,8 +590,149 @@ FROM agg
 """
 
 
+def _sql_sample(samples: list[str], alias: str) -> str:
+    arr = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in samples) + "]"
+    return f"({arr})[(doc_id % {len(samples)}) + 1] AS {alias}"
+
+
+def _degree_sql() -> str:
+    expr = "regexp_replace(raw_degree, '[^\\w\\s]', '', 'g')"
+    chain = [
+        (r"\bMBA\b", "Master of Business Administration"),
+        (r"\bPHD\b", "Doctor of Philosophy"),
+        (r"\bBS\b", "Bachelor of Science"),
+        (r"\bBA\b", "Bachelor of Arts"),
+        (r"\bMS\b", "Master of Science"),
+        (r"\bMA\b", "Master of Arts"),
+        (r"\bMasters\b", "Master"),
+        (r"\bAdmin\b", "Administration"),
+        (r"\bin\b", "of"),
+    ]
+    for pat, repl in chain:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'gi')"
+    expr = (
+        f"regexp_replace(regexp_replace({expr}, '\\bDegree\\b$', '', 'i'),"
+        " '^\\s+|\\s+$', '', 'g')"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {_sql_sample(_DEGREE_SAMPLES, 'raw_degree')}
+                   FROM documents),
+        e AS (SELECT doc_id, raw_degree, {expr} AS expanded FROM d)
+        SELECT doc_id, raw_degree,
+          CASE WHEN coalesce(raw_degree, '') = '' THEN ''
+               WHEN expanded = '' THEN raw_degree
+               ELSE expanded END AS degree
+        FROM e
+    """
+
+
+def _title_sql() -> str:
+    from document_parser_private_spark.semantics import TITLE_ABBREVIATIONS
+    expr = "raw_title"
+    ordered = [p for p in TITLE_ABBREVIATIONS if " " in p[0] or r"\s*" in p[0]]
+    ordered += [p for p in TITLE_ABBREVIATIONS
+                if " " not in p[0] and r"\s*" not in p[0]]
+    for pat, repl in ordered:
+        # DuckDB plain strings pass backslashes through literally
+        expr = f"regexp_replace({expr}, '\\b{pat}\\b', '{repl}', 'gi')"
+    return f"""
+        WITH d AS (SELECT doc_id, {_sql_sample(_TITLE_SAMPLES, 'raw_title')}
+                   FROM documents)
+        SELECT doc_id, raw_title,
+          CASE WHEN coalesce(raw_title, '') = '' THEN '' ELSE {expr} END AS title
+        FROM d
+    """
+
+
+_MONTH_CASE_SQL = (
+    "CASE lower(substr(mname, 1, 3)) "
+    + " ".join(
+        f"WHEN '{m}' THEN {i + 1}"
+        for i, m in enumerate(
+            ["jan", "feb", "mar", "apr", "may", "jun",
+             "jul", "aug", "sep", "oct", "nov", "dec"]
+        )
+    )
+    + " END"
+)
+
+_DATE_PARSE_SQL_TEMPLATE = r"""
+WITH d AS (SELECT doc_id, {sample} FROM documents),
+t AS (SELECT doc_id, raw_date,
+        regexp_replace(raw_date, '^\s+|\s+$', '', 'g') AS s FROM d),
+x AS (
+  SELECT doc_id, raw_date, s,
+    regexp_extract(s, '^(\d{{4}})-(\d{{2}})-(\d{{2}})$', 0) AS iso,
+    regexp_extract(s, '(?i)\bQ([1-4])\s*(\d{{4}})\b', 1) AS q,
+    regexp_extract(s, '(?i)\bQ([1-4])\s*(\d{{4}})\b', 2) AS qy,
+    regexp_extract(s, '(?i)([a-zA-Z]+)[^\d]*(\d{{4}})', 1) AS mname,
+    regexp_extract(s, '(?i)([a-zA-Z]+)[^\d]*(\d{{4}})', 2) AS myear,
+    regexp_extract(s, '(\d{{1,2}})[^\d]*(\d{{4}})', 1) AS nmon,
+    regexp_extract(s, '(\d{{1,2}})[^\d]*(\d{{4}})', 2) AS nyear,
+    regexp_extract(s, '(\d{{4}})', 1) AS year
+  FROM t
+), m AS (
+  SELECT *, CASE WHEN mname != '' THEN {month_case} ELSE NULL END AS mnum
+  FROM x
+)
+SELECT doc_id, raw_date,
+  CASE
+    WHEN coalesce(s, '') = '' THEN NULL
+    WHEN regexp_matches(s, '(?i)\b(present|current|ongoing|now)\b')
+      THEN DATE '2025-07-11'
+    WHEN iso != '' THEN strptime(s, '%Y-%m-%d')::DATE
+    WHEN q != '' THEN make_date(qy::INT, (q::INT - 1) * 3 + 1, 1)
+    WHEN mname != '' AND mnum IS NOT NULL
+      THEN make_date(myear::INT, mnum, 1)
+    WHEN nmon != '' AND nmon::INT BETWEEN 1 AND 12
+      THEN make_date(nyear::INT, nmon::INT, 1)
+    WHEN year != '' THEN make_date(year::INT, 1, 1)
+    ELSE NULL
+  END AS parsed
+FROM m
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "degree_expansion": _degree_sql(),
+        "title_expansion": _title_sql(),
+        "date_parse": _DATE_PARSE_SQL_TEMPLATE.format(
+            sample=_sql_sample(_DATE_SAMPLES, "raw_date"),
+            month_case=_MONTH_CASE_SQL,
+        ),
+        "gpa_extract": f"""
+            WITH d AS (SELECT doc_id, {_sql_sample(_GPA_SAMPLES, 'raw_gpa')}
+                       FROM documents)
+            SELECT doc_id, raw_gpa,
+              CASE WHEN regexp_matches(raw_gpa, '(?i)out\\s+of|on|scale')
+                   THEN NULL
+                   ELSE TRY_CAST(
+                     nullif(regexp_extract(raw_gpa,
+                       '\\b(\\d\\.\\d{{1,2}})\\b', 1), '') AS DOUBLE)
+              END AS gpa
+            FROM d
+        """,
+        "pii_mask": """
+            WITH d AS (
+              SELECT doc_id,
+                'user' || doc_id::VARCHAR || '@example.com' AS email
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN strpos(email, '@') > 1
+                   THEN substr(email, 1, 1) || '***'
+                        || substr(email, strpos(email, '@'))
+                   ELSE '[EMAIL_REDACTED]' END AS masked_email
+            FROM d
+        """,
+        "event_windows": """
+            SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*)::BIGINT AS n,
+              round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
         "contact_extract": """
             WITH d AS (
               SELECT doc_id,
