@@ -403,6 +403,60 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+_SKILLS_SAMPLES = [
+    "Languages: Python3, JS / Core Java",
+    "Docker Containers; K8s; and; 42",
+    "Apache Spark, terraform IaC • ReactJS",
+    "unknown skill, SQL queries, x",
+    "Amazon Web Services/Flask Framework",
+    "GitHub, Unix, SpringBoot, ML",
+]
+
+
+def _q_skill_normalize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3 broadcast ontology join canonicalization (exact path; the
+    fuzzy-on-miss variant is pipeline-side, pytest-verified)."""
+    from document_parser_private_spark.operators.normalize import (
+        normalize_skills_join,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_SKILLS_SAMPLES).alias("skills_text")
+    )
+    out = normalize_skills_join(d, fuzzy=False)
+    return out.select(
+        "doc_id", F.array_join("skills", ",").alias("skills_csv")
+    )
+
+
+def _q_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 full multi-entity anonymization, hash strategy (pandas UDF;
+    rows-only — per-match sha256 inside a replacement loop isn't SQL)."""
+    from document_parser_private_spark.operators.pii import anonymize_op
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or 555-123-4567 ssn 123-45-6789 :: "),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return anonymize_op(d).select("doc_id", "anonymized")
+
+
+def _q_pii_mask_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 in-text email masking as one native regexp_replace."""
+    from document_parser_private_spark.operators.pii import mask_emails_col
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com and admin@test.org :: "),
+            F.substring("text", 1, 30),
+        ).alias("text"),
+    )
+    return d.select("doc_id", mask_emails_col(F.col("text")).alias("masked"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -433,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
+        "skill_normalize_join": _q_skill_normalize_join,
+        "pii_anonymize": _q_pii_anonymize,
+        "pii_mask_text": _q_pii_mask_text,
     }
 
 
@@ -693,8 +750,67 @@ FROM m
 """
 
 
+def _skill_join_sql() -> str:
+    from document_parser_private_spark.corpus import SKILLS_ONTOLOGY
+    from document_parser_private_spark.semantics import (
+        SKILL_CATEGORY_LABELS,
+        STOP_WORDS,
+    )
+    values = ", ".join(
+        f"('{v.lower()}', '{c}')"
+        for c, vs in SKILLS_ONTOLOGY.items()
+        for v in [c] + vs
+    )
+    label_strip = "phrase"
+    for label in SKILL_CATEGORY_LABELS:
+        label_strip = f"regexp_replace({label_strip}, '^{label}:\\s*', '')"
+    stop = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    return f"""
+        WITH onto(variant_lower, canonical) AS (VALUES {values}),
+        d AS (SELECT doc_id, {_sql_sample(_SKILLS_SAMPLES, 'skills_text')}
+              FROM documents),
+        phrases AS (
+          SELECT doc_id,
+            regexp_replace(unnest(regexp_split_to_array(skills_text,
+              '[\\n,;•/]+')), '^\\s+|\\s+$', '', 'g') AS phrase
+          FROM d
+        ), kept AS (
+          SELECT doc_id, phrase FROM phrases
+          WHERE length(phrase) > 1 AND NOT regexp_matches(phrase, '^\\d+$')
+        ), cleaned AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace({label_strip},
+              '\\([^)]*\\)', '', 'g'), '^\\s+|\\s+$', '', 'g') AS clean
+          FROM kept
+        ), resolved AS (
+          SELECT c.doc_id, coalesce(o.canonical, c.clean) AS skill
+          FROM cleaned c LEFT JOIN onto o ON lower(c.clean) = o.variant_lower
+        )
+        SELECT doc_id,
+          array_to_string(list_sort(list_distinct(list(skill))), ',') AS skills_csv
+        FROM resolved
+        WHERE length(skill) > 1 AND lower(skill) NOT IN ({stop})
+        GROUP BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "skill_normalize_join": _skill_join_sql(),
+        "pii_mask_text": r"""
+            WITH d AS (
+              SELECT doc_id,
+                'reach user' || doc_id::VARCHAR
+                || '@example.com and admin@test.org :: '
+                || substr(text, 1, 30) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(text,
+                '([A-Za-z0-9._%+-])[A-Za-z0-9._%+-]*(@[A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+                '\1***\2', 'g') AS masked
+            FROM d
+        """,
         "degree_expansion": _degree_sql(),
         "title_expansion": _title_sql(),
         "date_parse": _DATE_PARSE_SQL_TEMPLATE.format(

@@ -72,10 +72,18 @@ def extract_pipeline(
     df: DataFrame,
     num_partitions: int | None = None,
     with_resume: bool = True,
+    repartition: bool = True,
 ) -> DataFrame:
     """Full pipeline; returns one row per doc with clean spans, sections,
-    extraction metrics columns, and (optionally) resume entities."""
-    out = repartition_salted(df, num_partitions)
+    extraction metrics columns, and (optionally) resume entities.
+
+    repartition=False skips the salted exchange for inputs whose STORAGE
+    is already salt-bucketed (the 100 TB deployment writes the documents
+    table bucketed by byte-size salt, e.g. Iceberg `bucket(N, salt)`
+    partitioning — so steady-state runs are exchange-free and the whole
+    pipeline is one narrow stage). Keep the default for ad-hoc inputs.
+    """
+    out = repartition_salted(df, num_partitions) if repartition else df
     out = reading_order_sort(out)
     out = classify_spans(out)
     out = detect_sections_op(out)
