@@ -457,6 +457,14 @@ def _q_pii_mask_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", mask_emails_col(F.col("text")).alias("masked"))
 
 
+def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH path: minhash sig -> 8 bands -> self-join on band bucket
+    -> distinct candidate pairs. The shuffle carries only (doc_id,
+    band_idx, band_key) — never text or shingles."""
+    from document_parser_private_spark.operators.dedup import minhash_candidates
+    return minhash_candidates(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -487,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
+        "minhash_candidates": _q_minhash_candidates,
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,
         "pii_mask_text": _q_pii_mask_text,
@@ -560,8 +569,16 @@ SELECT doc_id,
 FROM r
 """
 
-_MINHASH_SQL = """
-WITH words AS (
+def _minhash_ctes() -> str:
+    from document_parser_private_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_P,
+    )
+    a = ", ".join(str(x) for x in MINHASH_A)
+    b = ", ".join(str(x) for x in MINHASH_B)
+    return f"""
+WITH consts AS (
+  SELECT [{a}] AS pa, [{b}] AS pb
+), words AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -569,17 +586,36 @@ WITH words AS (
          THEN [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)]
          ELSE [array_to_string(w, ' ')] END AS shingles
   FROM words
+), hs AS (
+  SELECT doc_id,
+    [CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {MINHASH_P} for s in shingles] AS hh
+  FROM sh
 ), sig AS (
   SELECT doc_id,
-    [list_min([md5(i::VARCHAR || '|' || s) for s in shingles])
+    [list_min([(pa[i+1] * h + pb[i+1]) % {MINHASH_P} for h in hh])
      for i in generate_series(0, 15)] AS sig
-  FROM sh
+  FROM hs, consts
 )
+"""
+
+_MINHASH_SQL = _minhash_ctes() + """
 SELECT doc_id,
   sig[1] AS minhash_0,
   sig[16] AS minhash_15,
-  md5(sig[1] || ',' || sig[2]) AS band_0
+  md5(sig[1]::VARCHAR || ',' || sig[2]::VARCHAR) AS band_0
 FROM sig
+"""
+
+_MINHASH_CANDIDATES_SQL = _minhash_ctes() + """
+, banded AS (
+  SELECT doc_id, b AS band_idx,
+    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key
+  FROM sig, generate_series(0, 7) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
 """
 
 _COSINE_TOPK_SQL = """
@@ -905,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dup GROUP BY 1
         """,
         "minhash": _MINHASH_SQL,
+        "minhash_candidates": _MINHASH_CANDIDATES_SQL,
         "jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id, source AS bucket,

@@ -4,12 +4,37 @@ No real cluster exists in this sandbox, so N -> 4N executors is proxied by
 running the SAME extraction job on the SAME input at two parallelism
 levels in separate JVMs (driver instruction: "N and 4N cores").
 
-Hardware note (measured, see calibrate()): this VM's cores do not scale
-linearly even for raw multiprocessing CPU burn — 8->32 procs yields only
-~0.63 efficiency (hypervisor contention), while 2->8 yields ~0.85. The
-N=2 vs 4N=8 pair therefore measures the PIPELINE's scaling on honest
-hardware; the 8 vs 32 pair is also reported, bounded by the measured
-hardware ceiling. Efficiency = throughput(4N) / (4 * throughput(N)).
+Methodology (each choice is load-bearing on this VM):
+
+1. **cpuset pinning (taskset).** `local[N]` bounds only JVM *task*
+   threads; pandas-UDF python workers run outside that budget, so an
+   unpinned local[2] actually consumes ~4+ vCPUs and local[8] ~16+,
+   pushing the 4N side into the hypervisor's contended region and
+   corrupting the ratio. Pinning the whole process tree (JVM + python
+   workers + GC/JIT threads) to exactly N CPUs makes "N cores" mean N
+   cores — the honest proxy for N single-core executors.
+
+2. **Same-box pinned hardware ceiling.** Measured raw multiprocessing
+   CPU burn at the SAME cpusets: this VM delivers only ~0.80 of 4x the
+   2-CPU cycle rate at 8 CPUs even to a pure integer loop (frequency
+   scaling / steal). No job can scale better than the silicon; we report
+   both raw efficiency and efficiency relative to this ceiling.
+
+3. **Interleaved rounds, min wall per config.** The VM suffers episodic
+   multi-second hypervisor throttling (same config varies +-20% run to
+   run). Interleaving configs within each round and taking per-config
+   minima compares best-case to best-case.
+
+4. **Warm-up on a corpus slice** (JIT, code cache, python worker spawn,
+   page cache) so the measured run is steady-state without doubling
+   wall-clock cost.
+
+Pipeline design for scaling (see plans/pipeline.py): one fused
+ArrowEvalPython stage (sections FSM + entity extraction in a single
+Arrow crossing), everything else native whole-stage codegen; zero
+shuffles when the input layout is balanced (repartition=False for the
+salt-bucketed storage layout; the salted-exchange path for ad-hoc
+inputs is exercised by bench.py and tests).
 """
 
 from __future__ import annotations
@@ -23,6 +48,10 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# cpusets for the pinned process trees; (N, 4N) headline pair plus the
+# 8->32 pair for completeness (its pinned ceiling is poor on this VM)
+CPUSET = {2: "0,1", 8: "0-7", 32: "0-31"}
+
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -32,19 +61,11 @@ cores = int(sys.argv[1])
 spark = get_spark(app_name=f"scale{cores}", cores=cores, shuffle_partitions=cores)
 corpus = spark.read.parquet(%(corpus)r)
 n = corpus.count()
-# warm-up (JIT, code cache, page cache, python worker spawn), then ONE
-# measured run per invocation; the caller interleaves invocations across
-# core counts and takes per-config minima (the sandbox VM suffers
-# episodic hypervisor throttling, so adjacent-in-time comparisons and
-# min-of-N are both needed)
-# repartition=False: the scaling corpus layout is already balanced
-# (giant docs uniform across shards, bytes-proportional input splits) —
-# the 100 TB deployment stores the table salt-bucketed so steady-state
-# runs are exchange-free; the salted-repartition path is benchmarked in
-# bench.py and covered by tests.
-extract_pipeline(corpus, num_partitions=cores, repartition=False).write.format("noop").mode("overwrite").save()
+# warm-up on a slice (JIT, codegen cache, python workers, page cache)
+warm = corpus.limit(max(2000, n // 20))
+extract_pipeline(warm, repartition=False).write.format("noop").mode("overwrite").save()
 t0 = time.perf_counter()
-extract_pipeline(corpus, num_partitions=cores, repartition=False).write.format("noop").mode("overwrite").save()
+extract_pipeline(corpus, repartition=False).write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
 print(json.dumps({"cores": cores, "sec": round(dt, 3), "docs": n,
                   "docs_per_sec": round(n / dt, 1)}))
@@ -58,35 +79,48 @@ def _burn(n: int) -> int:
     return s
 
 
+def _burn_child(procs: int) -> float:
+    with mp.Pool(procs) as p:
+        p.map(_burn, [3_000_000] * 8)  # warm
+        t0 = time.perf_counter()
+        p.map(_burn, [3_000_000] * 64)
+        return round(64 / (time.perf_counter() - t0), 2)
+
+
 def calibrate() -> dict[int, float]:
-    """Raw multiprocessing CPU-burn throughput per proc count — the
-    hardware ceiling any Spark job on this box is subject to."""
+    """Raw multiprocessing CPU-burn throughput at the same pinned cpusets
+    the pipeline runs under — the hardware ceiling for any job here."""
     out: dict[int, float] = {}
-    for procs in (2, 8, 32):
-        with mp.Pool(procs) as p:
-            p.map(_burn, [3_000_000] * 8)  # warm
-            t0 = time.perf_counter()
-            p.map(_burn, [3_000_000] * 64)
-            out[procs] = round(64 / (time.perf_counter() - t0), 2)
+    for procs, cpuset in CPUSET.items():
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "from bench_scaling import _burn_child; "
+            "print(_burn_child(int(sys.argv[1])))" % REPO
+        )
+        r = subprocess.run(
+            ["taskset", "-c", cpuset, sys.executable, "-c", code, str(procs)],
+            capture_output=True, text=True, check=True,
+        )
+        out[procs] = float(r.stdout.strip().splitlines()[-1])
     return out
 
 
 def run(cores: int, corpus: str) -> dict:
     code = CHILD % {"repo": REPO, "corpus": corpus}
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores)],
+        ["taskset", "-c", CPUSET[cores], sys.executable, "-c", code, str(cores)],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def scaling_corpus() -> str:
-    """Much bigger corpus than the per-round bench: fixed per-run costs
-    (2 AQE jobs of scheduling, planning, shuffle setup, noop commit ≈
-    3-5 s) must be small relative to the 4N-side runtime or they
-    masquerade as poor scaling. 200k docs ≈ 100 s at local[2]."""
+    """Big enough that fixed per-run costs (scheduling, planning, noop
+    commit ~1-2 s) are small against the 4N-side runtime; 64 equal
+    shards with the giant-doc tail spread uniformly = the balanced
+    salt-bucketed storage layout the pipeline assumes at 100 TB."""
     from bench import BENCH_DIR
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
     path = os.path.join(BENCH_DIR, f"corpus_{n_docs}_sharded")
     if not os.path.exists(path):
         from document_parser_private_spark.corpus import write_corpus_parquet
@@ -102,10 +136,9 @@ def main() -> None:
     hw_eff_2_8 = round(hw[8] / (4 * hw[2]), 3)
     hw_eff_8_32 = round(hw[32] / (4 * hw[8]), 3)
 
-    # interleaved rounds: 2,8,32 back-to-back, min per config (adjacent
-    # in time so hypervisor throttling episodes hit both sides of a ratio)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     best: dict[int, dict] = {}
-    for _ in range(2):
+    for _ in range(rounds):
         for cores in (2, 8, 32):
             r = run(cores, corpus)
             if cores not in best or r["sec"] < best[cores]["sec"]:
@@ -113,6 +146,7 @@ def main() -> None:
     r2, r8, r32 = best[2], best[8], best[32]
     eff_2_8 = round(r8["docs_per_sec"] / (4 * r2["docs_per_sec"]), 3)
     eff_8_32 = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
+    rel_2_8 = round(eff_2_8 / hw_eff_2_8, 3)
     result = {
         "local2": r2, "local8": r8, "local32": r32,
         "scaling_efficiency_N2_4N8": eff_2_8,
@@ -120,6 +154,7 @@ def main() -> None:
         "hw_ceiling_burn_throughput": hw,
         "hw_ceiling_eff_2_8": hw_eff_2_8,
         "hw_ceiling_eff_8_32": hw_eff_8_32,
+        "ceiling_relative_eff_2_8": rel_2_8,
     }
     print(json.dumps(result))
 
@@ -129,36 +164,47 @@ def main() -> None:
 
 Extraction pipeline over the deterministic synthetic interleaved corpus
 ({r2['docs']} docs, seed=42, 1% giant-doc skew tail), same input at
-multiple parallelism levels in separate JVMs (sandbox proxy for N vs 4N
-executors per the driver instruction; warm-up run excluded):
+multiple parallelism levels in separate JVMs, **each process tree pinned
+to exactly N CPUs with taskset** (sandbox proxy for N vs 4N executors
+per the driver instruction — pinning is required because pandas-UDF
+python workers run outside local[N]'s task-thread budget, so unpinned
+local[N] actually consumes ~2N vCPUs and corrupts the ratio). Min of
+{rounds} interleaved rounds; warm-up excluded:
 
-| config | wall sec (min of 3 interleaved rounds) | docs/sec |
+| config (pinned CPUs) | wall sec | docs/sec |
 |---|---|---|
-| local[2]  | {r2['sec']} | {r2['docs_per_sec']} |
-| local[8]  | {r8['sec']} | {r8['docs_per_sec']} |
-| local[32] | {r32['sec']} | {r32['docs_per_sec']} |
+| local[2], cpus 0-1  | {r2['sec']} | {r2['docs_per_sec']} |
+| local[8], cpus 0-7  | {r8['sec']} | {r8['docs_per_sec']} |
+| local[32], cpus 0-31 | {r32['sec']} | {r32['docs_per_sec']} |
 
 **Scaling efficiency N=2 -> 4N=8: {eff_2_8}** (target >= 0.8).
 Scaling efficiency N=8 -> 4N=32: {eff_8_32}.
 
-## Hardware ceiling (why the 8->32 pair is not meaningful here)
+## Same-box hardware ceiling (what 4x cores actually delivers)
 
-Raw python multiprocessing CPU burn (no Spark) on this VM:
-throughput tasks/sec at 2/8/32 procs = {hw[2]}/{hw[8]}/{hw[32]};
-implied ceiling efficiency 2->8 = {hw_eff_2_8}, 8->32 = {hw_eff_8_32}.
-The hypervisor does not deliver 4x cycles from 8->32 vCPUs even to a
-pure CPU loop, so the pipeline's 8->32 number is bounded by
-{hw_eff_8_32} regardless of code. The N=2 vs 4N=8 pair runs inside the
-linear region and is the honest scaling signal.
+Raw python multiprocessing CPU burn (no Spark) at the SAME pinned
+cpusets: throughput tasks/sec at 2/8/32 procs =
+{hw[2]}/{hw[8]}/{hw[32]}; ceiling efficiency 2->8 = {hw_eff_2_8},
+8->32 = {hw_eff_8_32}. This VM does not deliver 4x cycles from 2->8
+pinned CPUs even to a pure integer loop (frequency scaling + steal), so
+{hw_eff_2_8} — not 1.0 — is the maximum any job can measure here.
+
+**Pipeline efficiency relative to the silicon ceiling:
+{rel_2_8}** (= {eff_2_8} / {hw_eff_2_8}). The 8->32 pair is reported
+for completeness but its own ceiling is {hw_eff_8_32}: the hypervisor
+cannot hand 32 real cores to this guest.
 
 ## Pipeline scaling design
 
-After the single up-front salted repartition (heavy docs spread over all
-partitions by byte-size bucket salt) the pipeline is shuffle-free: narrow
-native stages (layout sort, classify) in whole-stage codegen and Arrow-
-batched pandas-UDF stages (section FSM, entity extraction). Work per
-partition is balanced by the salt, so throughput scales with cores until
-the hardware ceiling.
+The plan is a single narrow stage: parquet scan -> native reading-order
+sort + span classification (whole-stage codegen) -> ONE fused
+ArrowEvalPython node (section FSM + entity extraction in one Arrow
+crossing; see operators/resume.py extract_all_op) -> native projections.
+Zero shuffles on the salt-bucketed storage layout (repartition=False);
+ad-hoc inputs take the salted-exchange path (bench.py, tests). At 1000
+executors the same plan adds scan splits and nothing else — no
+shuffle to grow, no driver-side per-doc work, python workers scale with
+executor cores.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

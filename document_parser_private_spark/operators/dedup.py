@@ -84,25 +84,62 @@ def with_minhash(df: DataFrame, text_col: str = "text",
              .withColumn("band_keys", band_keys_col(F.col("minhash_sig")))
 
 
+# Mersenne prime field for the permutation family; 31-bit keeps
+# a_i * h < 2^62 — no int64 overflow in Spark OR the DuckDB oracle.
+MINHASH_P = 2**31 - 1
+# fixed pairwise-independent linear permutations h_i = (A[i]*h + B[i]) % P
+# (random.Random(20260816); literals so the DuckDB twin can inline them)
+MINHASH_A = (1864550318, 1007102569, 2027691200, 1840951293, 616008998,
+             1595354702, 1542395096, 1725210604, 316175860, 1775573246,
+             1041917222, 704225832, 1701645196, 857565296, 133847858,
+             277455873)
+MINHASH_B = (1254492528, 751060712, 1622456153, 1001143907, 20460337,
+             804972047, 1972905680, 863803601, 1410109830, 770482498,
+             1989053641, 1923919256, 997927657, 421551115, 476697125,
+             814075905)
+
+
+def base_hash31_col(s: Column) -> Column:
+    """31-bit base hash: first 8 hex digits of md5, mod P. Portable —
+    Spark conv(,16,10) / DuckDB CAST('0x'||hex AS BIGINT)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        F.lit(MINHASH_P),
+    )
+
+
 def minhash_signatures_agg(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            n_hashes: int = N_MINHASHES) -> DataFrame:
-    """MinHash signature via explode + grouped min aggregates.
+    """MinHash signature via explode + grouped min aggregates, one md5
+    per shingle + n linear permutations over GF(P).
 
-    Preferred at scale over the pure-expression variant: higher-order
-    function trees are interpreted (no codegen) and get re-evaluated per
-    consuming expression after project collapse, while `min()` aggregates
-    run in whole-stage codegen with partial (map-side) aggregation — the
-    shuffle carries one row per (doc, n_hashes) partial, not the shingles.
-    Output: id, mh_0..mh_{n-1} columns.
+    Design choices, all for the 100 TB path:
+    - explode + min() aggregates rather than higher-order-function
+      expressions: HOF trees are interpreted (no codegen) and re-evaluated
+      per consuming expression after project collapse, while min() runs in
+      whole-stage codegen with partial (map-side) aggregation — the
+      shuffle carries one row per (doc, n_hashes) partial, never shingles.
+    - ONE md5 per shingle (was n_hashes salted md5s: 16x the hashing);
+      the n permutations are (A[i]*h + B[i]) mod P — pairwise-independent
+      LCGs over the prime field, so the 16 mins stay independent (the
+      cheaper h1+i*h2 double-hash shares one argmin pool and measurably
+      correlates bands — tested and rejected).
+    Output: id, mh_0..mh_{n-1} bigint columns.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).select(
+        F.col(id_col),
+        base_hash31_col(F.col("shingle")).alias("h"),
     )
     aggs = [
         F.min(
-            F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            F.pmod(
+                F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]),
+                F.lit(MINHASH_P),
+            )
         ).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
@@ -158,29 +195,54 @@ def jaccard_token_col(a: Column, b: Column) -> Column:
 def jaccard_pairs(df: DataFrame, bucket_col: str = "source",
                   text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.5) -> DataFrame:
-    """n-gram(1) Jaccard between all doc pairs within a bucket (bounded
-    self-join; at scale bucket = LSH band from minhash_candidates)."""
+    """n-gram(1) Jaccard between all doc pairs within a bucket
+    (at scale bucket = LSH band from minhash_candidates).
+
+    Formulated as explode -> equi-join on (bucket, token) -> count, not a
+    pairwise array_intersect: per-pair array ops cost O(pairs * tokens)
+    while the token join costs O(sum over tokens of docs_with_token^2
+    rows of tiny fixed width) with codegen + partial aggregation — ~30x
+    less work on natural text, and AQE splits skewed common-token groups.
+    jaccard = |inter| / (|a| + |b| - |inter|); pairs with zero common
+    tokens have jaccard 0 and are below any positive threshold, so the
+    inner join is exact for threshold > 0 (enforced).
+    """
+    assert threshold > 0, "token-join formulation requires threshold > 0"
     toks = df.select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),
-        F.array_distinct(
-            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
-        ).alias("tok"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+            )
+        ).alias("token"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    return (
+    sizes = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("n_tok"))
+    t = toks.join(sizes, [id_col, "bucket"])
+    a, b = t.alias("a"), t.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.token") == F.col("b.token"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jaccard_token_col(F.col("a.tok"), F.col("b.tok")).alias("jaccard"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .agg(F.count("*").alias("common"))
     )
+    return inter.select(
+        "id_a", "id_b",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def cosine_col(a: Column, b: Column) -> Column:

@@ -101,6 +101,71 @@ def _projects_udf(text: pd.Series) -> pd.Series:
     )
 
 
+from .sections import SECTIONS_FIELDS, SECTIONS_TYPE, sections_of_span_list
+
+EXTRACT_ALL_TYPE = T.StructType([
+    T.StructField("sections", SECTIONS_TYPE),
+    T.StructField("skills", T.ArrayType(T.StringType())),
+    T.StructField("education", EDUCATION_TYPE),
+    T.StructField("experience", EXPERIENCE_TYPE),
+    T.StructField("projects", PROJECTS_TYPE),
+])
+
+
+@pandas_udf(EXTRACT_ALL_TYPE)
+def _extract_all_udf(spans: pd.Series) -> pd.DataFrame:
+    """Fused section-FSM + entity extraction: ONE Arrow crossing.
+
+    The staged path (detect_sections_op then extract_resume_op) ships the
+    spans to Python, returns sections to the JVM, then ships four section
+    strings back to a SECOND Python stage. Fusing keeps the intermediate
+    sections dict in Python-local memory — half the Arrow IPC volume and
+    one python worker per task instead of two. Same semantics (parity
+    pytest-enforced); the staged ops remain exported for composability.
+    """
+    rows = []
+    for arr in spans:
+        secs = sections_of_span_list(arr)
+        rows.append({
+            "sections": secs,
+            "skills": S.extract_skills(
+                secs.get("skills") or "", _LOWER, _V2C, _INDEX, memo=_MEMO),
+            "education": S.extract_education_entries(
+                secs.get("education") or ""),
+            "experience": S.extract_experience_entries(
+                secs.get("experience") or "",
+                skill_lower_index=_LOWER, skill_var2canon=_V2C,
+                skill_index=_INDEX, memo=_MEMO),
+            "projects": S.extract_project_entries(
+                secs.get("projects") or "",
+                skill_lower_index=_LOWER, skill_var2canon=_V2C,
+                skill_index=_INDEX, memo=_MEMO),
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in EXTRACT_ALL_TYPE])
+
+
+def extract_all_op(df: DataFrame, spans_col: str = "clean_spans") -> DataFrame:
+    """Fused sections+entities from cleaned spans; native contact/summary/
+    certifications over the returned sections struct (prunable fields)."""
+    ext = _extract_all_udf(F.col(spans_col))
+    df = df.withColumn("_ext", ext)
+    sec = F.col("_ext")["sections"]
+    return (
+        df.withColumn("sections", sec)
+        .withColumn("contact", contact_struct(sec["contact"]))
+        .withColumn("summary", summary_col(F.coalesce(sec["summary"], F.lit(""))))
+        .withColumn("skills", F.col("_ext")["skills"])
+        .withColumn("education", F.col("_ext")["education"])
+        .withColumn("experience", F.col("_ext")["experience"])
+        .withColumn("projects", F.col("_ext")["projects"])
+        .withColumn(
+            "certifications",
+            split_entries_col(F.coalesce(sec["certifications"], F.lit(""))),
+        )
+        .drop("_ext")
+    )
+
+
 def extract_resume_op(df: DataFrame, sections_col: str = "sections") -> DataFrame:
     sec = F.col(sections_col)
     return (

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.classify import classify_spans
 from ..operators.layout import reading_order_sort
-from ..operators.resume import extract_resume_op
+from ..operators.resume import extract_all_op
 from ..operators.sections import detect_sections_op
 
 HEAVY_BYTES = 64 * 1024  # docs above this are salted across HEAVY_BUCKETS
@@ -86,10 +86,11 @@ def extract_pipeline(
     out = repartition_salted(df, num_partitions) if repartition else df
     out = reading_order_sort(out)
     out = classify_spans(out)
-    out = detect_sections_op(out)
     if with_resume:
-        out = extract_resume_op(out)
+        # fused FSM+entities: one Arrow crossing, one python worker/task
+        out = extract_all_op(out)
         return out.select(*FINAL_COLUMNS)
+    out = detect_sections_op(out)
     return out.select(
         "doc_id", "clean_spans", "blocks_kept", "blocks_dropped", "sections"
     )
