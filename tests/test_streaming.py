@@ -46,3 +46,43 @@ def test_windowed_event_counts(spark):
     assert len(out) > 0
     total = sum(r["n"] for r in out)
     assert total == events.count()
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: a >30min gap closes a
+    session and emits it; the still-open trailing session stays in state
+    (not emitted in a single availableNow drain)."""
+    import datetime as dt
+    from document_parser_private_spark.streaming.stream import sessionize_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events, 40min gap, then two more -> first session closes
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),
+        (1, t0 + dt.timedelta(minutes=50)), (1, t0 + dt.timedelta(minutes=60)),
+        # user 2: single event -> stays open, nothing emitted
+        (2, t0),
+    ]
+    in_dir = str(tmp_path / "events_in")
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp") \
+        .format("parquet").load(in_dir)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    got = [r.asDict() for r in spark.sql(
+        "select * from sessions order by user_id, session_start").collect()]
+    assert len(got) == 1
+    s = got[0]
+    assert s["user_id"] == 1
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + dt.timedelta(minutes=10)
+    assert s["n_events"] == 2
+    assert s["closed"] is True
