@@ -70,9 +70,13 @@ def _is_media(s: Column) -> Column:
     )
 
 
-def clean_spans_col(spans: Column) -> Column:
-    """Filter boilerplate, re-kind media, renumber offsets (reading order
-    assumed — run operators.layout first)."""
+def clean_spans_col(spans: Column, renumber: bool = True) -> Column:
+    """Filter boilerplate, re-kind media. renumber=True rewrites offsets
+    0..n-1 (input must already be in reading order); renumber=False keeps
+    the original geometric offsets for a downstream layout-inference pass
+    (classification is per-span and order-free, so it can run BEFORE
+    layout — that ordering keeps the whole filter in whole-stage codegen
+    and lets the layout+FSM+entities UDF be the plan's only Python node)."""
     kept = F.filter(
         spans, lambda s: _is_media(s) | ~_is_boilerplate(s)
     )
@@ -84,13 +88,16 @@ def clean_spans_col(spans: Column) -> Column:
             .alias("kind"),
             F.coalesce(s["text"], F.lit("")).alias("text"),
             s["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset"),
+            (i.cast("int") if renumber else s["offset"]).alias("offset"),
         ),
     )
 
 
-def classify_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
-    out = df.withColumn("clean_spans", clean_spans_col(F.col(spans_col)))
+def classify_spans(df: DataFrame, spans_col: str = "spans",
+                   renumber: bool = True) -> DataFrame:
+    out = df.withColumn(
+        "clean_spans", clean_spans_col(F.col(spans_col), renumber=renumber)
+    )
     return (
         out.withColumn("blocks_kept", F.size("clean_spans"))
         .withColumn(

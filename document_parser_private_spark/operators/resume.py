@@ -101,9 +101,11 @@ def _projects_udf(text: pd.Series) -> pd.Series:
     )
 
 
+from .layout import SPAN_TYPE, order_spans_py
 from .sections import SECTIONS_FIELDS, SECTIONS_TYPE, sections_of_span_list
 
 EXTRACT_ALL_TYPE = T.StructType([
+    T.StructField("clean_spans", SPAN_TYPE),
     T.StructField("sections", SECTIONS_TYPE),
     T.StructField("skills", T.ArrayType(T.StringType())),
     T.StructField("education", EDUCATION_TYPE),
@@ -114,19 +116,24 @@ EXTRACT_ALL_TYPE = T.StructType([
 
 @pandas_udf(EXTRACT_ALL_TYPE)
 def _extract_all_udf(spans: pd.Series) -> pd.DataFrame:
-    """Fused section-FSM + entity extraction: ONE Arrow crossing.
+    """Fused layout inference + section FSM + entity extraction: the
+    plan's ONLY Python node, ONE Arrow crossing.
 
-    The staged path (detect_sections_op then extract_resume_op) ships the
-    spans to Python, returns sections to the JVM, then ships four section
-    strings back to a SECOND Python stage. Fusing keeps the intermediate
-    sections dict in Python-local memory — half the Arrow IPC volume and
-    one python worker per task instead of two. Same semantics (parity
-    pytest-enforced); the staged ops remain exported for composability.
+    Input is the natively-filtered spans (original geometric offsets);
+    this pass (1) infers reading order (line clustering / column
+    detection, semantics.layout_reading_order) and renumbers offsets,
+    (2) runs the section FSM, (3) extracts entities — all on Python-local
+    data. The staged path (layout_order_op -> detect_sections_op ->
+    extract_resume_op) ships spans across Arrow three times; fusing ships
+    them once. Same semantics (golden-parity pytest-enforced); the staged
+    ops remain exported for composability.
     """
     rows = []
     for arr in spans:
-        secs = sections_of_span_list(arr)
+        ordered = order_spans_py(arr)
+        secs = sections_of_span_list(ordered)
         rows.append({
+            "clean_spans": ordered,
             "sections": secs,
             "skills": S.extract_skills(
                 secs.get("skills") or "", _LOWER, _V2C, _INDEX, memo=_MEMO),
@@ -145,13 +152,15 @@ def _extract_all_udf(spans: pd.Series) -> pd.DataFrame:
 
 
 def extract_all_op(df: DataFrame, spans_col: str = "clean_spans") -> DataFrame:
-    """Fused sections+entities from cleaned spans; native contact/summary/
-    certifications over the returned sections struct (prunable fields)."""
+    """Fused layout+sections+entities from natively-filtered spans;
+    native contact/summary/certifications over the returned sections
+    struct (prunable fields)."""
     ext = _extract_all_udf(F.col(spans_col))
     df = df.withColumn("_ext", ext)
     sec = F.col("_ext")["sections"]
     return (
-        df.withColumn("sections", sec)
+        df.withColumn("clean_spans", F.col("_ext")["clean_spans"])
+        .withColumn("sections", sec)
         .withColumn("contact", contact_struct(sec["contact"]))
         .withColumn("summary", summary_col(F.coalesce(sec["summary"], F.lit(""))))
         .withColumn("skills", F.col("_ext")["skills"])

@@ -63,16 +63,13 @@ class ExtractedDoc:
     certifications: list[str]
 
 
-def reading_order(spans: list[dict]) -> list[dict]:
-    """Stage 1 — layout: reading order == ascending offset (ties: stored order)."""
-    return sorted(spans, key=lambda s: s["offset"])
-
-
-def classify_and_emit(spans_in_order: list[dict]) -> tuple[list[dict], int, int]:
-    """Stages 2+3: classify, drop boilerplate, re-emit renumbered spans."""
+def classify_keep(spans: list[dict]) -> tuple[list[dict], int]:
+    """Stage 1 — per-span classify (order-free): drop boilerplate,
+    re-kind media; ORIGINAL geometric offsets preserved for the layout
+    pass. Returns (kept, dropped)."""
     out: list[dict] = []
     dropped = 0
-    for s in spans_in_order:
+    for s in spans:
         label = S.classify_span(s["kind"], s["text"] or "", s.get("media_ref"))
         if label == "boilerplate":
             dropped += 1
@@ -82,8 +79,23 @@ def classify_and_emit(spans_in_order: list[dict]) -> tuple[list[dict], int, int]
             "kind": kind,
             "text": s["text"] or "",
             "media_ref": s.get("media_ref"),
-            "offset": len(out),
+            "offset": s["offset"],
         })
+    return out, dropped
+
+
+def reading_order(spans: list[dict]) -> list[dict]:
+    """Stage 2 — layout inference over surviving spans (line clustering
+    by y, column detection by x-gap, column-major sort)."""
+    return S.layout_reading_order(spans)
+
+
+def classify_and_emit(spans: list[dict]) -> tuple[list[dict], int, int]:
+    """Stages 1+2+3: classify (order-free) -> layout inference -> re-emit
+    with offsets renumbered 0..n-1 in reading order."""
+    kept, dropped = classify_keep(spans)
+    ordered = reading_order(kept)
+    out = [dict(s, offset=i) for i, s in enumerate(ordered)]
     return out, len(out), dropped
 
 
@@ -98,8 +110,7 @@ def sections_of(clean_spans: list[dict]) -> dict[str, str]:
 
 
 def extract_doc(doc_id: str, spans: list[dict]) -> ExtractedDoc:
-    ordered = reading_order(spans)
-    clean, kept, dropped = classify_and_emit(ordered)
+    clean, kept, dropped = classify_and_emit(spans)
     sections = sections_of(clean)
     contact = S.extract_contact(sections.get("contact", ""))
     summary = S.extract_summary(sections.get("summary", ""))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.classify import classify_spans
-from ..operators.layout import reading_order_sort
+from ..operators.layout import layout_order_op
 from ..operators.resume import extract_all_op
 from ..operators.sections import detect_sections_op
 
@@ -84,12 +84,16 @@ def extract_pipeline(
     pipeline is one narrow stage). Keep the default for ad-hoc inputs.
     """
     out = repartition_salted(df, num_partitions) if repartition else df
-    out = reading_order_sort(out)
-    out = classify_spans(out)
+    # classify is per-span and order-free, so it runs FIRST, natively
+    # (whole-stage codegen), keeping original geometric offsets; layout
+    # inference happens inside the single Python pass that needs Python
+    # anyway (fused UDF below / layout_order_op on the sections-only path)
+    out = classify_spans(out, renumber=False)
     if with_resume:
-        # fused FSM+entities: one Arrow crossing, one python worker/task
+        # fused layout+FSM+entities: one Arrow crossing, one worker/task
         out = extract_all_op(out)
         return out.select(*FINAL_COLUMNS)
+    out = layout_order_op(out)
     out = detect_sections_op(out)
     return out.select(
         "doc_id", "clean_spans", "blocks_kept", "blocks_dropped", "sections"

@@ -1211,3 +1211,78 @@ def anonymize_text(text: str, strategy: str = "hash", salt: str = DEFAULT_SALT) 
         pos = end
     out.append(text[pos:])
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# PDF layout pass: geometric reading-order inference (north_star
+# "line clustering by y-offset, column detection, reading-order sort";
+# reference analogue: implicit PyMuPDF block order, layout_analyzer.py:17-59)
+# ---------------------------------------------------------------------------
+
+X_STRIDE = 1024        # offset = y * X_STRIDE + x (int32-safe to ~2M lines)
+LINE_GAP = 1           # y units; larger jumps start a new line cluster
+                       # (baseline jitter is <=1, row spacing is >=3, so
+                       # chaining cannot bridge rows even when two columns'
+                       # baselines interleave)
+GUTTER_MIN = 100       # x units; smallest gap that can split columns
+COL_MIN_SPANS = 2      # a side needs >= this many spans to be a column
+
+
+def decode_offset(offset: int) -> tuple[int, int]:
+    """(y, x) from a packed geometric offset."""
+    return offset // X_STRIDE, offset % X_STRIDE
+
+
+def encode_offset(y: int, x: int) -> int:
+    return y * X_STRIDE + x
+
+
+def layout_reading_order(spans: list[dict]) -> list[dict]:
+    """Infer reading order from span geometry — the layout pass a naive
+    y-sorted PDF text dump needs before any downstream stage:
+
+      1. decode offset -> (y, x)
+      2. cluster ys into lines (gap > LINE_GAP starts a new line)
+      3. detect a column gutter: the largest x-gap >= GUTTER_MIN with
+         >= COL_MIN_SPANS spans on each side
+      4. reading order = (column, line, x, stored index) — column-major,
+         top-down, left-right; stable on ties
+
+    Single-column docs (all x within GUTTER_MIN) degrade to plain y-order,
+    so the pass is safe to run unconditionally.
+    """
+    if not spans:
+        return []
+    pts = []
+    for i, s in enumerate(spans):
+        y, x = decode_offset(s["offset"] or 0)
+        pts.append((y, x, i))
+
+    ys = sorted({p[0] for p in pts})
+    line_of: dict[int, int] = {}
+    line = 0
+    prev = ys[0]
+    for y in ys:
+        if y - prev > LINE_GAP:
+            line += 1
+        line_of[y] = line
+        prev = y
+
+    xs = sorted({p[1] for p in pts})
+    gutter: Optional[int] = None
+    if len(xs) >= 2:
+        best_gap, best_x = 0, None
+        for a, b in zip(xs, xs[1:]):
+            if b - a > best_gap:
+                best_gap, best_x = b - a, b
+        if best_gap >= GUTTER_MIN and best_x is not None:
+            left = sum(1 for p in pts if p[1] < best_x)
+            if left >= COL_MIN_SPANS and len(pts) - left >= COL_MIN_SPANS:
+                gutter = best_x
+
+    def key(p: tuple[int, int, int]) -> tuple[int, int, int, int]:
+        y, x, i = p
+        col = 0 if gutter is None or x < gutter else 1
+        return (col, line_of[y], x, i)
+
+    return [spans[i] for (_, _, i) in sorted(pts, key=key)]

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..corpus import DOCS_DDL
 from ..operators.classify import classify_spans
-from ..operators.layout import reading_order_sort
+from ..operators.layout import layout_order_op
 from ..operators.sections import detect_sections_op
 
 
@@ -40,7 +40,9 @@ def stream_extract(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.load(input_dir)
-    out = detect_sections_op(classify_spans(reading_order_sort(docs)))
+    out = detect_sections_op(
+        layout_order_op(classify_spans(docs, renumber=False))
+    )
     return out.select(
         "doc_id", "clean_spans", "blocks_kept", "blocks_dropped", "sections"
     )

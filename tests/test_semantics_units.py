@@ -194,3 +194,51 @@ def test_skills_pipeline():
     assert "Java" in out            # case-insensitive exact
     assert "and" not in out         # stop word
     assert "x" not in out           # len <= 1
+
+
+# ---------------------------------------------------------------------------
+# Geometric layout pass (semantics.layout_reading_order)
+# ---------------------------------------------------------------------------
+
+def _sp(text, y, x, kind="text"):
+    from document_parser_private_spark import semantics as S
+    return {"kind": kind, "text": text, "media_ref": None,
+            "offset": S.encode_offset(y, x)}
+
+
+def test_layout_two_columns_reconstructed():
+    from document_parser_private_spark import semantics as S
+    # stored row-major (naive y-sorted PDF dump), jittered baselines
+    spans = [
+        _sp("L0", 0, 3), _sp("R0", 1, 500),
+        _sp("L1", 3, 0), _sp("R1", 4, 505),
+        _sp("L2", 6, 2), _sp("R2", 7, 501),
+    ]
+    out = [s["text"] for s in S.layout_reading_order(spans)]
+    assert out == ["L0", "L1", "L2", "R0", "R1", "R2"]
+
+
+def test_layout_single_column_with_jitter_keeps_order():
+    from document_parser_private_spark import semantics as S
+    spans = [_sp(f"T{i}", 3 * i + (i % 2), i % 3) for i in range(7)]
+    out = [s["text"] for s in S.layout_reading_order(spans)]
+    assert out == [f"T{i}" for i in range(7)]
+
+
+def test_layout_sparse_side_not_a_column():
+    from document_parser_private_spark import semantics as S
+    # single far-right span (e.g. a page number) must not create a column
+    spans = [_sp("A", 0, 0), _sp("B", 3, 900), _sp("C", 6, 1)]
+    out = [s["text"] for s in S.layout_reading_order(spans)]
+    assert out == ["A", "B", "C"]
+
+
+def test_layout_sequential_offsets_degrade_to_identity():
+    from document_parser_private_spark import semantics as S
+    # legacy sequential offsets (0..n-1, n <= X_STRIDE) decode to a y=0
+    # row with ascending x: no gutter-sized gap, so order is preserved;
+    # beyond X_STRIDE spans a doc must use geometric encoding
+    spans = [{"kind": "text", "text": f"S{i}", "media_ref": None, "offset": i}
+             for i in range(1000)]
+    out = [s["text"] for s in S.layout_reading_order(spans)]
+    assert out == [f"S{i}" for i in range(1000)]

@@ -12,7 +12,7 @@ from document_parser_private_spark.streaming.stream import (
 def test_stream_matches_batch(spark, tmp_path):
     from pyspark.sql import functions as F
     from document_parser_private_spark.operators.classify import classify_spans
-    from document_parser_private_spark.operators.layout import reading_order_sort
+    from document_parser_private_spark.operators.layout import layout_order_op
     from document_parser_private_spark.operators.sections import detect_sections_op
 
     in_dir = str(tmp_path / "in")
@@ -27,7 +27,8 @@ def test_stream_matches_batch(spark, tmp_path):
     }
 
     batch_df = detect_sections_op(
-        classify_spans(reading_order_sort(spark.read.parquet(in_dir)))
+        layout_order_op(classify_spans(spark.read.parquet(in_dir),
+                                       renumber=False))
     ).select(
         "doc_id", "blocks_kept",
         F.to_json("clean_spans").alias("clean_spans_json"),
