@@ -457,6 +457,13 @@ def _q_pii_mask_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", mask_emails_col(F.col("text")).alias("masked"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic seeded coarse quantizer + one distributed
+    Lloyd step, probe 4/16 cells, exact re-rank inside probed cells."""
+    from document_parser_private_spark.operators.similarity import ivf_topk
+    return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LSH path: minhash sig -> 8 bands -> self-join on band bucket
     -> distinct candidate pairs. The shuffle carries only (doc_id,
@@ -495,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "minhash_candidates": _q_minhash_candidates,
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,
@@ -616,6 +624,68 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
  AND a.doc_id < b.doc_id
+"""
+
+_IVF_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cell, vec AS cvec FROM e WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT e.vec_id, e.vec, s.cell,
+      round(
+        list_sum([e.vec[i] * s.cvec[i] for i in generate_series(1, len(e.vec))])
+        / (sqrt(list_sum([x * x for x in e.vec])) * sqrt(list_sum([x * x for x in s.cvec]))),
+      6) AS aff,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY round(
+        list_sum([e.vec[i] * s.cvec[i] for i in generate_series(1, len(e.vec))])
+        / (sqrt(list_sum([x * x for x in e.vec])) * sqrt(list_sum([x * x for x in s.cvec]))),
+      6) DESC, s.cell ASC) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), cent AS (
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cell, i AS pos, avg(vec[i]) AS m
+    FROM asg, generate_series(1, 64) AS t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+), table2 AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT e.vec_id, e.vec, c.cell,
+      round(
+        list_sum([e.vec[i] * c.cvec[i] for i in generate_series(1, len(e.vec))])
+        / (sqrt(list_sum([x * x for x in e.vec])) * sqrt(list_sum([x * x for x in c.cvec]))),
+      6) AS aff,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY round(
+        list_sum([e.vec[i] * c.cvec[i] for i in generate_series(1, len(e.vec))])
+        / (sqrt(list_sum([x * x for x in e.vec])) * sqrt(list_sum([x * x for x in c.cvec]))),
+      6) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY round(
+        list_sum([q.vec[i] * c.cvec[i] for i in generate_series(1, len(q.vec))])
+        / (sqrt(list_sum([x * x for x in q.vec])) * sqrt(list_sum([x * x for x in c.cvec]))),
+      6) DESC, c.cell ASC) AS rn
+    FROM table2 q CROSS JOIN cent c WHERE q.vec_id < 5
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, t.vec_id AS neighbor_id,
+    round(
+      list_sum([p.qvec[i] * t.vec[i] for i in generate_series(1, len(t.vec))])
+      / (sqrt(list_sum([x * x for x in p.qvec])) * sqrt(list_sum([x * x for x in t.vec]))),
+    6) AS cosine
+  FROM table2 t JOIN probes p ON t.cell = p.cell
+  WHERE t.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 10
 """
 
 _COSINE_TOPK_SQL = """
@@ -972,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_sum([x * x for x in b.vec]))), 6) >= 0.35
         """,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "ivf_topk": _IVF_TOPK_SQL,
         "lsh_buckets": _LSH_BUCKETS_SQL,
         "eval_metrics": _EVAL_METRICS_SQL,
         "lineitem_agg": """

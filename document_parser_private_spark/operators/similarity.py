@@ -120,3 +120,116 @@ def ann_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, dim: int = 64,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> probe nearest cells ->
+# exact re-rank inside the probed cells only
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _argmax_cell(scored: DataFrame, part_col: str) -> DataFrame:
+    w = Window.partitionBy(part_col).orderBy(F.desc("aff"), F.asc("cell"))
+    return scored.withColumn("rn", F.row_number().over(w)) \
+                 .where(F.col("rn") == 1).drop("rn", "aff")
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = N_CELLS,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer: seed centroids = the first n_cells
+    vectors by id, refined by ONE distributed Lloyd step (assign all
+    vectors to the nearest seed by cosine, mean per cell).
+
+    Everything is DataFrame ops (broadcast the tiny centroid set; the
+    big side streams): at 100 TB the assign pass is a narrow map over
+    the corpus and the refine is one groupBy of (cell, pos) partial
+    averages — no iteration loop, no driver-side data. Deterministic by
+    construction (seeded by id order, fixed-order dot products), so the
+    DuckDB oracle can replay it exactly.
+    """
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    seeds = e.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col("vec").alias("cvec")
+    )
+    assigned = _argmax_cell(
+        e.crossJoin(F.broadcast(seeds)).select(
+            F.col(id_col), "vec", "cell",
+            cosine_col(F.col("vec"), F.col("cvec")).alias("aff"),
+        ),
+        id_col,
+    )
+    by_pos = assigned.select(
+        "cell", F.posexplode("vec").alias("pos", "val")
+    ).groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    return by_pos.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cvec")
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, cell): nearest refined centroid by cosine."""
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return _argmax_cell(
+        e.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col), "vec", "cell",
+            cosine_col(F.col("vec"), F.col("cvec")).alias("aff"),
+        ),
+        id_col,
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+             n_cells: int = N_CELLS, n_probe: int = N_PROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN search: each query probes its n_probe highest-affinity
+    cells and re-ranks exactly inside them. The corpus is scanned once to
+    build cells and once to search; the per-query candidate set is
+    ~n_probe/n_cells of the table instead of all of it."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    table = ivf_assign(emb, cents, id_col, vec_col)
+
+    q = table.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qaff"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qvec", "cell",
+            cosine_col(F.col("qvec"), F.col("cvec")).alias("qaff"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        table.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_col(F.col("qvec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -89,3 +89,26 @@ def test_ann_matches_bruteforce_within_bucket(spark):
         # every ANN hit shares the query's bucket and has the exact cosine
         assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
         assert brute_rank[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with 4/16 probed cells must recover most of the exact top-k."""
+    import numpy as np
+    from document_parser_private_spark.operators.similarity import (
+        cosine_topk, ivf_topk,
+    )
+    rng = np.random.default_rng(11)
+    # 3 gaussian clusters so cells are meaningful
+    centers = rng.normal(size=(3, 16))
+    rows = []
+    for i in range(240):
+        v = centers[i % 3] + 0.3 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, n_queries=5, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, n_queries=5, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
