@@ -83,9 +83,10 @@ def main() -> None:
 
     qs = E.queries()
     for name in (
-        "textstats", "minhash", "jaccard_pairs", "exact_dedup",
-        "cosine_topk", "lsh_buckets", "eval_metrics", "lineitem_agg",
-        "region_revenue", "event_sessions", "token_histogram",
+        "textstats", "minhash", "minhash_candidates", "jaccard_pairs",
+        "exact_dedup", "cosine_topk", "ivf_topk", "lsh_buckets",
+        "eval_metrics", "lineitem_agg", "region_revenue",
+        "event_sessions", "token_histogram", "skill_normalize_join",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 

@@ -24,7 +24,7 @@ from ..operators.layout import layout_order_op
 from ..operators.resume import extract_all_op
 from ..operators.sections import detect_sections_op
 
-HEAVY_BYTES = 64 * 1024  # docs above this are salted across HEAVY_BUCKETS
+HEAVY_BYTES = 8 * 1024  # ~3x the mean doc: above this, the giant-doc salt
 HEAVY_BUCKETS = 16
 
 FINAL_COLUMNS = (
@@ -58,7 +58,11 @@ def repartition_salted(
             ),
         )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    hb = heavy_buckets or n
+    # 4x finer than the partition count: repartition() HASHES the salt
+    # value to place rows, so coarse salts (one per partition) suffer
+    # balls-into-bins collisions that leave partitions empty of giants;
+    # finer salt smooths the composed doc->partition map
+    hb = heavy_buckets or n * 4
     salt = F.when(
         F.col("byte_size") > heavy_bytes,
         F.concat(F.lit("H"), F.pmod(F.xxhash64("doc_id"), F.lit(hb))),
