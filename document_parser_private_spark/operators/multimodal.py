@@ -146,3 +146,45 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_DDL = (
+    "media_ref string, kind string, width int, height int, "
+    "payload binary"
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 256,
+                 fake: bool = True) -> DataFrame:
+    """Resize plan for image rows: aspect-preserving clamp of the longer
+    side to max_side. Geometry math is real (and what a cluster job would
+    pushdown-project); the pixel resample is STUBBED like decode_media —
+    the fake keeps a deterministic byte slice proportional to the area
+    ratio so downstream batch shapes are realistic.
+    """
+    if not fake:
+        raise NotImplementedError(REAL_DECODE_UNAVAILABLE)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_w, out_h, out_p = [], [], []
+            for w, h, payload in zip(pdf["width"], pdf["height"],
+                                     pdf["payload"]):
+                w = int(w) if pd.notna(w) else 0
+                h = int(h) if pd.notna(h) else 0
+                side = max(w, h)
+                scale = (max_side / side) if side > max_side else 1.0
+                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                b = bytes(payload) if payload is not None else b""
+                keep = max(1, int(len(b) * (nw * nh) / max(1, w * h)))
+                out_w.append(nw)
+                out_h.append(nh)
+                out_p.append(b[:keep])
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"], "kind": pdf["kind"],
+                "width": out_w, "height": out_h, "payload": out_p,
+            })
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        batches, schema=RESIZED_DDL
+    )

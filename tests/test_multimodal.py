@@ -63,3 +63,21 @@ def test_frame_sample_plan(spark):
     got = sorted((r["media_ref"], r["frame_ts_ms"]) for r in out)
     assert got == [("vid://1", 0), ("vid://1", 1000),
                    ("vid://1", 2000), ("vid://1", 3000)]
+
+
+def test_resize_media_geometry(spark, corpus_df):
+    from document_parser_private_spark.operators.multimodal import resize_media
+    media = _media(spark, corpus_df)
+    out = {r["media_ref"]: r for r in resize_media(media, max_side=64).collect()}
+    src = {r["media_ref"]: r for r in media.where("kind = 'image'").collect()}
+    assert set(out) == set(src) and len(out) > 0
+    for ref, r in out.items():
+        s = src[ref]
+        assert max(r["width"], r["height"]) <= 64
+        if max(s["width"], s["height"]) > 64:
+            # aspect preserved within rounding
+            assert abs(r["width"] * s["height"] - r["height"] * s["width"]) \
+                <= max(s["width"], s["height"])
+        else:
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+        assert len(r["payload"]) >= 1
