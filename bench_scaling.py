@@ -152,12 +152,31 @@ def main() -> None:
             "rel_2_8": round(eff_2_8 / hw_2_8, 3),
             "rel_8_32": round(eff_8_32 / hw_8_32, 3),
         })
-    headline = max(round_results, key=lambda r: r["eff_2_8"])
+    # Headline = MEDIAN round by raw 2->8 efficiency: a throttling episode
+    # on the N side inflates a round's ratio and on the 4N side deflates
+    # it, so extremes in either direction are suspect; the median is the
+    # robust single-round estimate. Also reported: the conservative
+    # efficiency from each config's BEST (least-throttled) wall time
+    # across all rounds, and the ceiling from each burn's best round
+    # (a burn round with ceiling-eff > 1 caught the N-side burn mid-
+    # throttle and is physically meaningless).
+    by_eff = sorted(round_results, key=lambda r: r["eff_2_8"])
+    headline = by_eff[len(by_eff) // 2]
     r2, r8, r32 = (headline["runs"][c] for c in (2, 8, 32))
     hw = headline["hw"]
     eff_2_8, eff_8_32 = headline["eff_2_8"], headline["eff_8_32"]
     hw_eff_2_8, hw_eff_8_32 = headline["hw_eff_2_8"], headline["hw_eff_8_32"]
     rel_2_8, rel_8_32 = headline["rel_2_8"], headline["rel_8_32"]
+
+    best_dps = {
+        c: max(r["runs"][c]["docs_per_sec"] for r in round_results)
+        for c in (2, 8, 32)
+    }
+    best_eff_2_8 = round(best_dps[8] / (4 * best_dps[2]), 3)
+    best_eff_8_32 = round(best_dps[32] / (4 * best_dps[8]), 3)
+    best_hw = {c: max(r["hw"][c] for r in round_results) for c in (2, 8, 32)}
+    best_hw_eff_2_8 = round(best_hw[8] / (4 * best_hw[2]), 3)
+
     result = {
         "local2": r2, "local8": r8, "local32": r32,
         "scaling_efficiency_N2_4N8": eff_2_8,
@@ -167,6 +186,10 @@ def main() -> None:
         "hw_ceiling_eff_8_32": hw_eff_8_32,
         "ceiling_relative_eff_2_8": rel_2_8,
         "ceiling_relative_eff_8_32": rel_8_32,
+        "best_config_dps": best_dps,
+        "best_config_eff_2_8": best_eff_2_8,
+        "best_config_eff_8_32": best_eff_8_32,
+        "best_hw_ceiling_eff_2_8": best_hw_eff_2_8,
         "all_rounds": [
             {k: v for k, v in r.items() if k != "runs"}
             for r in round_results
@@ -174,6 +197,11 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    rows_md = "\n".join(
+        f"| {i + 1} | {r['eff_2_8']} | {r['hw_eff_2_8']} | {r['rel_2_8']} "
+        f"| {r['eff_8_32']} | {r['hw_eff_8_32']} |"
+        for i, r in enumerate(round_results)
+    )
     md = f"""# BENCH/BASELINE — measured numbers
 
 ## Extraction throughput & scaling (north_rule evidence)
@@ -187,7 +215,11 @@ python workers run outside local[N]'s task-thread budget, so unpinned
 local[N] actually consumes ~2N vCPUs and corrupts the ratio). {rounds}
 rounds, each with its OWN adjacent-in-time burn-ceiling calibration
 (the hypervisor's delivered cycle rate drifts on a minutes timescale);
-headline = best round with that round's ceiling. Warm-up excluded.
+headline = MEDIAN round by raw 2->8 efficiency (throttling episodes
+inflate a round's ratio when they hit the N side and deflate it on the
+4N side, so extremes are suspect either way). Warm-up excluded.
+
+Headline (median) round:
 
 | config (pinned CPUs) | wall sec | docs/sec |
 |---|---|---|
@@ -195,24 +227,30 @@ headline = best round with that round's ceiling. Warm-up excluded.
 | local[8], cpus 0-7  | {r8['sec']} | {r8['docs_per_sec']} |
 | local[32], cpus 0-31 | {r32['sec']} | {r32['docs_per_sec']} |
 
-**Scaling efficiency N=2 -> 4N=8: {eff_2_8}** (target >= 0.8).
-Scaling efficiency N=8 -> 4N=32: {eff_8_32}.
+**Scaling efficiency N=2 -> 4N=8: {eff_2_8}** (target >= 0.8);
+same-round burn ceiling {hw_eff_2_8}, ceiling-relative {rel_2_8}.
+N=8 -> 4N=32: {eff_8_32} (same-round ceiling {hw_eff_8_32},
+relative {rel_8_32}).
 
-## Same-box hardware ceiling (what 4x cores actually delivers)
+All rounds (raw eff / same-round ceiling / relative):
+
+| round | eff 2->8 | ceiling 2->8 | relative | eff 8->32 | ceiling 8->32 |
+|---|---|---|---|---|---|
+{rows_md}
+
+Conservative cross-round estimate — each config's best
+(least-throttled) docs/sec: {best_dps[2]} / {best_dps[8]} /
+{best_dps[32]} -> eff 2->8 = {best_eff_2_8}, 8->32 = {best_eff_8_32};
+best-round burn ceiling 2->8 = {best_hw_eff_2_8}.
+
+## Why a ceiling at all
 
 Raw python multiprocessing CPU burn (no Spark) at the SAME pinned
-cpusets, measured in the same round: throughput tasks/sec at 2/8/32
-procs = {hw[2]}/{hw[8]}/{hw[32]}; ceiling efficiency 2->8 =
-{hw_eff_2_8}, 8->32 = {hw_eff_8_32}. This VM does not deliver 4x cycles
-from 2->8 pinned CPUs even to a pure integer loop (frequency scaling +
-steal), so {hw_eff_2_8} — not 1.0 — is the maximum any job can measure
-here.
-
-**Pipeline efficiency relative to the same-round silicon ceiling:
-N=2 -> 4N=8: {rel_2_8}; N=8 -> 4N=32: {rel_8_32}.**
-
-Per-round raw/ceiling/relative efficiencies are printed in the JSON
-(`all_rounds`) for variance transparency.
+cpusets does not reach 4.0x from 2->8 CPUs on this VM (frequency
+scaling + steal; measured {best_hw_eff_2_8} at best, down to ~0.80 in
+quieter windows). A ceiling-eff > 1.0 in a round means the 2-proc burn
+itself was throttled mid-measurement — those rounds' relative numbers
+are meaningless and only the raw pipeline efficiencies stand.
 
 ## Pipeline scaling design
 

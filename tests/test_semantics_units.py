@@ -242,3 +242,30 @@ def test_layout_sequential_offsets_degrade_to_identity():
              for i in range(1000)]
     out = [s["text"] for s in S.layout_reading_order(spans)]
     assert out == [f"S{i}" for i in range(1000)]
+
+
+def test_layout_reading_order_stored_order_invariant():
+    """Property: for spans with distinct (y, x), the inferred reading
+    order is independent of the stored array order."""
+    import random
+    from hypothesis import given, settings, strategies as st
+    from document_parser_private_spark import semantics as S
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 1000)),
+        min_size=1, max_size=40, unique=True,
+    ), st.integers(0, 2**31))
+    def prop(coords, shuffle_seed):
+        spans = [
+            {"kind": "text", "text": f"s{i}", "media_ref": None,
+             "offset": S.encode_offset(y, x)}
+            for i, (y, x) in enumerate(coords)
+        ]
+        base = [s["text"] for s in S.layout_reading_order(spans)]
+        shuffled = spans[:]
+        random.Random(shuffle_seed).shuffle(shuffled)
+        again = [s["text"] for s in S.layout_reading_order(shuffled)]
+        assert base == again
+
+    prop()
