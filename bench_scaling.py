@@ -252,13 +252,24 @@ quieter windows). A ceiling-eff > 1.0 in a round means the 2-proc burn
 itself was throttled mid-measurement — those rounds' relative numbers
 are meaningless and only the raw pipeline efficiencies stand.
 
+## Conclusion vs the north_rule target
+
+On the driver's example pair (local[8] vs local[32]), best-config
+efficiency is {best_eff_8_32} (target >= 0.8) at
+{best_dps[32]} docs/sec peak. The 2->8 pair measures
+{best_eff_2_8} against a same-box burn ceiling of
+{best_hw_eff_2_8} — i.e. the pipeline delivers
+~{round(100 * best_eff_2_8 / best_hw_eff_2_8)}% of what the silicon
+gives a pure CPU loop at that step.
+
 ## Pipeline scaling design
 
-The plan is a single narrow stage: parquet scan -> native reading-order
-sort + span classification (whole-stage codegen) -> ONE fused
-ArrowEvalPython node (section FSM + entity extraction in one Arrow
-crossing; see operators/resume.py extract_all_op) -> native projections.
-Zero shuffles on the salt-bucketed storage layout (repartition=False);
+The plan is a single narrow stage: parquet scan -> native span
+classification (whole-stage codegen, order-free, boilerplate never
+crosses Arrow) -> ONE fused ArrowEvalPython node (layout inference +
+section FSM + entity extraction in one Arrow crossing; see
+operators/resume.py extract_all_op) -> native projections. Zero
+shuffles on the salt-bucketed storage layout (repartition=False);
 ad-hoc inputs take the salted-exchange path (bench.py, tests). At 1000
 executors the same plan adds scan splits and nothing else — no
 shuffle to grow, no driver-side per-doc work, python workers scale with
