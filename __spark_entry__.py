@@ -457,6 +457,24 @@ def _q_pii_mask_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", mask_emails_col(F.col("text")).alias("masked"))
 
 
+def _q_fuzzy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 fuzzy variant (reference evaluation_metrics.py:43): avg
+    token_set_ratio of each doc's text vs its source's first doc (pandas
+    UDF; Levenshtein-family scorer — rows-only, not SQL-expressible)."""
+    from document_parser_private_spark.operators.metrics import fuzzy_similarity
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    truth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("text").alias("truth_text"))
+    )
+    paired = d.join(truth, "source")
+    pred = paired.select("doc_id", "source", "text")
+    tru = paired.select("doc_id", F.col("truth_text").alias("text"))
+    return fuzzy_similarity(pred, tru, group_col="source")
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic seeded coarse quantizer + one distributed
     Lloyd step, probe 4/16 cells, exact re-rank inside probed cells."""
@@ -503,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "fuzzy_eval": _q_fuzzy_eval,
         "minhash_candidates": _q_minhash_candidates,
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,

@@ -9,8 +9,10 @@ aggregated micro-style per group.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def evaluation_metrics(
@@ -50,4 +52,40 @@ def evaluation_metrics(
         F.round(precision, 6).alias("precision"),
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+def fuzzy_similarity(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Average fuzzy string similarity of predicted vs ground-truth text
+    per group — the reference's token_set_ratio similarity metric
+    (testing/accuracy_benchmark/evaluation_metrics.py:43), vectorized as
+    a pandas UDF over the joined pairs."""
+    from .. import semantics as S
+
+    @pandas_udf("double")
+    def _tsr(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            S.token_set_ratio(x or "", y or "") for x, y in zip(a, b)
+        ])
+
+    p = pred.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        F.col(text_col).alias("pred_text"),
+    )
+    t = truth.select(F.col(id_col), F.col(text_col).alias("true_text"))
+    j = p.join(t, id_col, "inner").withColumn(
+        "sim", _tsr(F.col("pred_text"), F.col("true_text"))
+    )
+    keys = [group_col] if group_col else []
+    return j.groupBy(*keys).agg(
+        F.round(F.avg("sim"), 6).alias("avg_similarity"),
+        F.round(F.min("sim"), 6).alias("min_similarity"),
+        F.count("*").cast("long").alias("n_pairs"),
     )
