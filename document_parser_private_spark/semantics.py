@@ -552,14 +552,22 @@ def _token_lens(s: str) -> tuple[frozenset[str], int, int]:
     return tset, uniq_len, sort_len
 
 
-_INDEX_TOKENS_CACHE: dict[int, list[tuple[frozenset[str], int, int]]] = {}
+_INDEX_TOKENS_CACHE: dict[tuple[str, ...], list[tuple[frozenset[str], int, int]]] = {}
+_INDEX_TOKENS_CACHE_MAX = 8
 
 
 def _index_token_lens(index: list[str]) -> list[tuple[frozenset[str], int, int]]:
-    key = id(index)
+    # CONTENT-keyed (tuple equality), never id(): a freed list's address
+    # can be reused by a different same-length list, which would serve
+    # stale token data (observed as flaky fuzzy-match results). The hot
+    # path passes the same module-level ontology index every call, so the
+    # tuple hash amortizes to one pointer-compare dict hit.
+    key = tuple(index)
     toks = _INDEX_TOKENS_CACHE.get(key)
-    if toks is None or len(toks) != len(index):
+    if toks is None:
         toks = [_token_lens(c) for c in index]
+        if len(_INDEX_TOKENS_CACHE) >= _INDEX_TOKENS_CACHE_MAX:
+            _INDEX_TOKENS_CACHE.clear()
         _INDEX_TOKENS_CACHE[key] = toks
     return toks
 

@@ -49,3 +49,16 @@ def test_pruned_equals_naive_random_chars():
         ]
         thr = rng.choice([50.0, 75.0, 80.0, 90.0])
         assert S.best_fuzzy_match(q, idx, thr) == naive_best(q, idx, thr), (q, idx, thr)
+
+
+def test_index_cache_is_content_keyed():
+    """Regression: the token cache must not serve stale data when a new
+    same-length list reuses a freed list's address (id() keying bug)."""
+    idx1 = ["python one two", "java three four"]
+    assert S.best_fuzzy_match("pythn one two", idx1, 60.0) == "python one two"
+    del idx1
+    # different content, same length — must be recomputed, not aliased
+    idx2 = ["completely unrelated", "nothing matches here"]
+    assert S.best_fuzzy_match("pythn one two", idx2, 90.0) is None
+    idx3 = ["pythn one two", "another candidate x"]
+    assert S.best_fuzzy_match("pythn one two", idx3, 90.0) == "pythn one two"
