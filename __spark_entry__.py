@@ -391,10 +391,11 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 fingerprints (pandas UDF; rows-only driver check —
-    bit-level majority vote is not expressible in DuckDB SQL)."""
-    from document_parser_private_spark.operators.textstats import with_simhash
-    return with_simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    """SimHash fingerprints via explode + codegen per-bit SUM aggregates
+    (scale path; exact DuckDB twin). The pandas-UDF 64-bit variant
+    remains exported as textstats.with_simhash."""
+    from document_parser_private_spark.operators.textstats import simhash_agg
+    return simhash_agg(_docs(spark, sf_dir))
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +742,59 @@ SELECT vec_id,
 FROM e
 """
 
+_ANN_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), b AS (
+  SELECT vec_id, vec,
+    array_to_string(
+      [CASE WHEN list_sum(
+          [vec[j + 1] * (CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN 1.0 ELSE -1.0 END)
+           for j in generate_series(0, 63)]) > 0
+       THEN '1' ELSE '0' END for p in generate_series(0, 7)], '') AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    round(
+      list_sum([q.qvec[i] * b.vec[i] for i in generate_series(1, len(b.vec))])
+      / (sqrt(list_sum([x * x for x in q.qvec])) * sqrt(list_sum([x * x for x in b.vec]))),
+    6) AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket
+  WHERE b.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+  FROM toks
+), bitsums AS (
+  SELECT doc_id, k,
+    sum(CASE WHEN (hv & (1::BIGINT << k)) != 0 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) AS t(k)
+  GROUP BY doc_id, k
+), hashed AS (
+  SELECT doc_id,
+    sum(CASE WHEN s > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS simhash
+  FROM bitsums GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(hashed.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN hashed ON d.doc_id = hashed.doc_id
+"""
+
 _EVAL_METRICS_SQL = """
 WITH toks AS (
   SELECT doc_id, source,
@@ -1063,6 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "ivf_topk": _IVF_TOPK_SQL,
         "lsh_buckets": _LSH_BUCKETS_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "simhash": _SIMHASH_SQL,
         "eval_metrics": _EVAL_METRICS_SQL,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

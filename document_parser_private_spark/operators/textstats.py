@@ -129,3 +129,44 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def hamming64_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+SIMHASH_BITS = 60  # 60-bit fits signed int64 on both engines with headroom
+
+
+def simhash_agg(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash via explode + codegen per-bit SUM aggregates — the scale
+    formulation (like minhash_signatures_agg): tokens explode to narrow
+    rows, each bit's majority vote is a map-side-partial sum, the shuffle
+    carries one row of n_bits ints per doc. Token hash = first 15 hex
+    digits of md5 (60 bits), portable to the DuckDB twin via
+    CAST('0x'||hex AS BIGINT). Empty docs -> simhash 0 (left anti side
+    restored with a zero literal)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long").alias("hv"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("hv").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
+        ).alias(f"s_{k}")
+        for k in range(n_bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for k in range(n_bits):
+        term = F.when(F.col(f"s_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    hashed = sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    empties = df.select(id_col).join(
+        hashed.select(id_col), id_col, "left_anti"
+    ).withColumn("simhash", F.lit(0).cast("long"))
+    return hashed.unionByName(empties)
