@@ -199,6 +199,14 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     build cells and once to search; the per-query candidate set is
     ~n_probe/n_cells of the table instead of all of it."""
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    # materialize the tiny centroid table (n_cells rows): it feeds THREE
+    # consumers (corpus assign, query assign, query probes) and would
+    # otherwise re-run the full-corpus Lloyd pass once per consumer —
+    # collecting n_cells rows to the driver is the correct move at any
+    # scale (same pattern as broadcasting a small dim)
+    cents = emb.sparkSession.createDataFrame(
+        cents.collect(), schema="cell long, cvec array<double>"
+    )
     table = ivf_assign(emb, cents, id_col, vec_col)
 
     q = table.where(F.col(id_col) < n_queries).select(
