@@ -458,6 +458,48 @@ def _q_pii_mask_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", mask_emails_col(F.col("text")).alias("masked"))
 
 
+_EDU_SAMPLES = [
+    "EDUCATION:\nBS in CS\nState University, Anytown\n2015 - 2019\nGPA: 3.7",
+    "EDUCATION:\nMasters of Business Admin\nTech Institute\nSep 2018 to Jun 2020",
+    "EDUCATION:\nPhD Physics\nNational College\n2010 - Present\nGPA 3.9 out of 4",
+]
+_EXP_SAMPLES = [
+    "EXPERIENCE:\nAcme Corp Inc\nSr. SWE\nJan 2020 - Present\n- Built pipelines using Python, Spark",
+    "EXPERIENCE:\nGlobex Ltd\nTech Lead\nMar 2015 to Feb 2018\n- Led a team using Java",
+    "EXPERIENCE:\nInitech LLC\nJr. Dev\n2019 - 2021\n- Maintained batch jobs using SQL",
+]
+
+
+def _q_resume_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3/U4 composite: education + experience entry extraction with
+    degree/title expansion, date parsing, GPA, duration-months — the
+    richest UDF extractors (rows-only: lookahead entry splits and the
+    date-parser chain are beyond DuckDB's RE2; semantics are pinned by
+    the golden-fixture pytest suite instead)."""
+    from document_parser_private_spark.operators.resume import (
+        _education_udf, _experience_udf,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        _sample_col(_EDU_SAMPLES).alias("edu_text"),
+        _sample_col(_EXP_SAMPLES).alias("exp_text"),
+    )
+    out = d.select(
+        "doc_id",
+        F.element_at(_education_udf(F.col("edu_text")), 1).alias("edu"),
+        F.element_at(_experience_udf(F.col("exp_text")), 1).alias("exp"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("edu")["institution"].alias("institution"),
+        F.col("edu")["degree"].alias("degree"),
+        F.col("edu")["gpa"].alias("gpa"),
+        F.col("exp")["company"].alias("company"),
+        F.col("exp")["position"].alias("position"),
+        F.col("exp")["duration_months"].alias("duration_months"),
+    )
+
+
 def _q_fuzzy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 fuzzy variant (reference evaluation_metrics.py:43): avg
     token_set_ratio of each doc's text vs its source's first doc (pandas
@@ -523,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "fuzzy_eval": _q_fuzzy_eval,
+        "resume_entities": _q_resume_entities,
         "minhash_candidates": _q_minhash_candidates,
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,
