@@ -500,6 +500,16 @@ def _q_resume_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path end-to-end: minhash -> LSH bands ->
+    candidate pairs -> exact token-Jaccard verification on candidates
+    only (all-pairs work never happens)."""
+    from document_parser_private_spark.operators.dedup import (
+        jaccard_on_candidates,
+    )
+    return jaccard_on_candidates(_docs(spark, sf_dir))
+
+
 def _q_fuzzy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 fuzzy variant (reference evaluation_metrics.py:43): avg
     token_set_ratio of each doc's text vs its source's first doc (pandas
@@ -567,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_eval": _q_fuzzy_eval,
         "resume_entities": _q_resume_entities,
         "minhash_candidates": _q_minhash_candidates,
+        "jaccard_on_candidates": _q_jaccard_on_candidates,
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,
         "pii_mask_text": _q_pii_mask_text,
@@ -836,6 +847,25 @@ WITH toks AS (
 )
 SELECT d.doc_id, coalesce(hashed.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN hashed ON d.doc_id = hashed.doc_id
+"""
+
+_JACCARD_ON_CANDIDATES_SQL_TAIL = """
+, toks AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+  round(len(list_intersect(ta.tok, tb.tok))::DOUBLE
+        / greatest(len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok)), 1)::DOUBLE,
+  6) AS jaccard
+FROM pairs p
+JOIN toks ta ON ta.doc_id = p.id_a
+JOIN toks tb ON tb.doc_id = p.id_b
 """
 
 _EVAL_METRICS_SQL = """
@@ -1128,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash": _MINHASH_SQL,
         "minhash_candidates": _MINHASH_CANDIDATES_SQL,
+        "jaccard_on_candidates": _minhash_ctes() + ", banded AS (\n  SELECT doc_id, b AS band_idx,\n    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key\n  FROM sig, generate_series(0, 7) AS t(b)\n)" + _JACCARD_ON_CANDIDATES_SQL_TAIL,
         "jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id, source AS bucket,

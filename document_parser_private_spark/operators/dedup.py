@@ -282,3 +282,29 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.35,
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def jaccard_on_candidates(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          threshold: float = 0.0) -> DataFrame:
+    """The 100 TB near-dup path end-to-end: MinHash -> LSH bands ->
+    candidate pairs -> EXACT token-Jaccard verification on candidates
+    only. The all-pairs work never happens; per-pair array ops are fine
+    here because LSH keeps the candidate set ~linear in corpus size."""
+    pairs = minhash_candidates(df, id_col=id_col, text_col=text_col)
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("tok").alias("tok_b"))
+    out = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaccard_token_col(F.col("tok_a"), F.col("tok_b")).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
