@@ -89,7 +89,8 @@ def main() -> None:
 
     qs = E.queries()
     for name in (
-        "textstats", "minhash", "minhash_candidates", "jaccard_pairs",
+        "textstats", "minhash", "minhash_candidates",
+        "jaccard_on_candidates", "jaccard_pairs", "simhash",
         "exact_dedup", "cosine_topk", "ivf_topk", "lsh_buckets",
         "eval_metrics", "lineitem_agg", "region_revenue",
         "event_sessions", "token_histogram", "skill_normalize_join",
