@@ -620,9 +620,15 @@ def best_fuzzy_match(
     order = sorted(range(len(index)), key=lambda i: -bounds[i])
     best_score = -1.0
     best_pos = -1
+    # floor the prune at the threshold: a candidate whose bound is below
+    # the threshold can never change the result — if it were the global
+    # argmax its score is < threshold and the call returns None anyway,
+    # and it can never beat/tie an already-found >= threshold match. For
+    # junk phrases (no token overlap, divergent lengths) every bound is
+    # below the threshold and the scan does ZERO scorer calls.
     for i in order:
         ub = bounds[i]
-        if ub < best_score:
+        if ub < threshold or ub < best_score:
             break
         if ub == best_score and best_pos != -1 and i > best_pos:
             continue  # a tie at larger position can't win
