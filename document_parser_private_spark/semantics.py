@@ -524,12 +524,17 @@ def token_set_ratio(a: str, b: str) -> float:
 def wratio(a: str, b: str) -> float:
     """Weighted max of ratio / token ratios (approximation of the public
     WRatio definition: plain ratio, plus token_sort/token_set scaled by
-    0.95, with an extra penalty when lengths diverge a lot)."""
+    0.95, with an extra penalty when lengths diverge a lot).
+
+    The plain-ratio LCS over the FULL strings is skipped when it provably
+    cannot exceed the token part (base <= len_bound): for the dominant
+    corpus case — long bullet line vs short skill name, token subset hit
+    — the only DP run is the cheap token-set one. Exactness preserved:
+    max(base, t) == t whenever base <= t."""
     a_l, b_l = a.lower(), b.lower()
-    base = _indel_ratio(a_l, b_l)
     la, lb = len(a_l), len(b_l)
     if la == 0 or lb == 0:
-        return base
+        return _indel_ratio(a_l, b_l)
     len_ratio = max(la, lb) / min(la, lb)
     tset = token_set_ratio(a, b)
     if tset >= 100.0:
@@ -538,7 +543,9 @@ def wratio(a: str, b: str) -> float:
         token_part = max(token_sort_ratio(a, b), tset) * 0.95
     if len_ratio >= 8:
         token_part *= 0.6 / 0.95
-    return max(base, token_part)
+    if _len_bound(la, lb) <= token_part:
+        return token_part
+    return max(_indel_ratio(a_l, b_l), token_part)
 
 
 def _token_lens(s: str) -> tuple[frozenset[str], int, int]:
