@@ -47,8 +47,15 @@ LINK_DENSITY_MIN_TOKENS = 3
 
 
 def _is_boilerplate(s: Column) -> Column:
-    """Boilerplate predicate for one span struct (non-media)."""
-    text = F.trim(F.coalesce(s["text"], F.lit("")))
+    """Boilerplate predicate for one span struct (non-media).
+
+    Whitespace trim is regex-based: Spark's trim() strips only ASCII
+    spaces while Python str.strip() (the reference semantics) strips
+    \\t \\r \\n too — a \\r-only span must be dropped as empty on both
+    sides (caught by the classify parity property test)."""
+    text = F.regexp_replace(
+        F.coalesce(s["text"], F.lit("")), r"^\s+|\s+$", ""
+    )
     tokens = F.split(text, r"\s+")
     n_tokens = F.size(tokens)
     n_links = F.size(F.filter(tokens, lambda t: t.rlike(LINK_TOKEN_JRE)))

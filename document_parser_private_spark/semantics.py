@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from datetime import date
 from typing import Optional
 
@@ -164,8 +165,10 @@ DATE_LINE_RLIKE = (
 )
 
 
+@lru_cache(maxsize=65536)
 def match_section_heading(text: str) -> Optional[str]:
-    """Section heading match with the colon/ALL-CAPS retry.
+    """Section heading match with the colon/ALL-CAPS retry. Memoized —
+    pure function, and heading/bullet lines repeat heavily across docs.
 
     Mirrors section_detector.py:109-133: first a raw `search` over every
     section's pattern list (dict order), then — only for lines ending in ':'
@@ -193,9 +196,11 @@ _ANY_DATE_LINE_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=65536)
 def contains_date_pattern(text: str) -> bool:
     """Date-range predicate (section_detector.py:151-161); single combined
-    search — the three alternatives are disjoint so or-ing is equivalent."""
+    search — the three alternatives are disjoint so or-ing is equivalent.
+    Memoized (pure; date lines repeat across documents)."""
     return _ANY_DATE_LINE_RE.search(text) is not None
 
 
