@@ -553,15 +553,22 @@ def wratio(a: str, b: str) -> float:
     return max(_indel_ratio(a_l, b_l), token_part)
 
 
-def _token_lens(s: str) -> tuple[frozenset[str], int, int]:
+def _token_lens(s: str) -> tuple[frozenset[str], int, int, int]:
     """(token set, len of sorted-unique-token join, len of sorted-all-token
-    join) for the lowercased string — the exact string lengths token_set_
-    ratio and token_sort_ratio operate on."""
-    toks = s.lower().split()
+    join, len of the lowercased string) — the exact string lengths
+    token_set_ratio / token_sort_ratio / the base ratio operate on."""
+    low = s.lower()
+    toks = low.split()
     tset = frozenset(toks)
     uniq_len = len(" ".join(sorted(tset)))
     sort_len = len(" ".join(sorted(toks)))
-    return tset, uniq_len, sort_len
+    return tset, uniq_len, sort_len, len(low)
+
+
+def _join_len(tokens) -> int:
+    """Length of ' '.join(sorted(tokens)) without building the string."""
+    n = len(tokens)
+    return sum(len(t) for t in tokens) + (n - 1) if n else 0
 
 
 _INDEX_TOKENS_CACHE: dict[tuple[str, ...], list[tuple[frozenset[str], int, int]]] = {}
@@ -598,33 +605,47 @@ def best_fuzzy_match(
     index order (matches the public extractOne tie behavior).
 
     Pruned with EXACT upper bounds so results are identical to the naive
-    scan: wratio = max(base, 0.95 * token_part) where
-      base       ≤ len_bound(la, lb)
-      token_part ≤ 100 when the token sets intersect (token_set can hit
-                   100 on any shared token) -> ub 95
-      token_part ≤ max(len_bound over the sorted-unique strings,
-                   len_bound over the sorted-all-token strings) when the
-                   token sets are disjoint (those are the exact strings
-                   the token ratios compare; empty intersection removes
-                   the 100 shortcut)
+    scan (property-tested): wratio = max(base, token_part) where
+      base       <= len_bound(la, lb) over the LOWERCASED lengths
+      token_part: subset token sets -> exactly 0.95*100 = 95 before the
+                   length penalty (token_set_ratio returns 100);
+                  intersecting non-subset -> 0.95 * max of the three
+                   len_bounds of the exact (inter, inter+diff_a,
+                   inter+diff_b) strings token_set_ratio compares plus
+                   the sorted-all-token bound — all computable from
+                   token character sums, no DP;
+                  disjoint -> 0.95 * max(len_bound(uniq), len_bound(sort))
+      and the len_ratio >= 8 penalty (token_part *= 0.6/0.95) applies
+      deterministically from the lengths, so it tightens the bound too.
     Candidates whose bound cannot STRICTLY beat the current best are
-    skipped (extractOne keeps the first of equals), pruning ~98% of the
-    DP on bullet-like phrases that share one token with the index.
+    skipped (extractOne keeps the first of equals); bullet-like phrases
+    sharing one short token with a divergent-length candidate prune to
+    zero scorer calls.
     """
-    q_tokens, q_uniq, q_sort = _token_lens(query)
-    lq = len(query)
+    q_tokens, q_uniq, q_sort, lq = _token_lens(query)
     idx_lens = _index_token_lens(index)
     bounds = []
-    for pos, (cand, (c_tokens, c_uniq, c_sort)) in enumerate(
-        zip(index, idx_lens)
-    ):
-        base_bound = _len_bound(lq, len(cand))
-        if q_tokens & c_tokens:
-            token_bound = 95.0
-        else:
+    for pos, (c_tokens, c_uniq, c_sort, lc) in enumerate(idx_lens):
+        base_bound = _len_bound(lq, lc)
+        inter = q_tokens & c_tokens
+        if not inter:
             token_bound = 0.95 * max(
                 _len_bound(q_uniq, c_uniq), _len_bound(q_sort, c_sort)
             )
+        elif q_tokens <= c_tokens or c_tokens <= q_tokens:
+            token_bound = 95.0
+        else:
+            inter_len = _join_len(inter)
+            ca = inter_len + 1 + _join_len(q_tokens - c_tokens)
+            cb = inter_len + 1 + _join_len(c_tokens - q_tokens)
+            tset_b = max(
+                _len_bound(inter_len, ca),
+                _len_bound(inter_len, cb),
+                _len_bound(ca, cb),
+            )
+            token_bound = 0.95 * max(tset_b, _len_bound(q_sort, c_sort))
+        if lq and lc and max(lq, lc) / min(lq, lc) >= 8:
+            token_bound *= 0.6 / 0.95
         bounds.append(max(base_bound, token_bound))
     # evaluate in descending-bound order; stop once no remaining bound can
     # reach the best score. Tie semantics preserved exactly: equal scores
