@@ -19,6 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from document_parser_private_spark.semantics import (
+    PY_WS_JRE as _PWS,
+    PY_WS_JRE_INNER as _PWSI,
+)
+
+# "whitespace" in every oracle twin = the Python str.split()/strip() set,
+# as an explicit class (RE2 \s is ASCII-only and even differs from Java
+# \s on \x0b) — must mirror the Spark side's semantics.PY_WS_JRE usage.
+_WORD_SQL = "[^" + _PWSI + "]+"
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -601,10 +611,10 @@ _LANGS_SQL = {
 _TEXTSTATS_SQL = f"""
 WITH base AS (
   SELECT doc_id, text,
-    len(regexp_extract_all(text, '\\S+')) AS tokens,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+    len(regexp_extract_all(text, '{_WORD_SQL}')) AS tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_PWSI}]')) AS bpe_tokens,
     len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stop_hits,
-    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+    len(regexp_extract_all(text, '[^A-Za-z0-9{_PWSI}]')) AS punct,
     length(text) AS chars,
     {', '.join(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANGS_SQL.items())}
   FROM documents
@@ -625,15 +635,15 @@ SELECT doc_id,
     WHEN s_zh > 0 THEN 'zh'
     ELSE 'und'
   END AS lang_guess,
-  md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '^ | $', '', 'g')) AS fingerprint
+  md5(regexp_replace(regexp_replace(lower(text), '{_PWS}+', ' ', 'g'), '^ | $', '', 'g')) AS fingerprint
 FROM base
 """
 
-_SUMMARY_SQL = """
+_SUMMARY_SQL = f"""
 WITH c AS (
   SELECT doc_id,
-    regexp_replace(regexp_replace(text || '. tail end', '\\s+', ' ', 'g'),
-                   '^\\s+|\\s+$', '', 'g') AS cleaned
+    regexp_replace(regexp_replace(text || '. tail end', '{_PWS}+', ' ', 'g'),
+                   '^{_PWS}+|{_PWS}+$', '', 'g') AS cleaned
   FROM documents
 ), p AS (
   SELECT doc_id, cleaned, substr(cleaned, 1, 500) AS prefix FROM c
@@ -661,7 +671,7 @@ def _minhash_ctes() -> str:
 WITH consts AS (
   SELECT [{a}] AS pa, [{b}] AS pb
 ), words AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
     CASE WHEN len(w) >= 3
@@ -828,9 +838,9 @@ FROM scored
 QUALIFY rank <= 10
 """
 
-_SIMHASH_SQL = """
+_SIMHASH_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
   FROM documents
 ), h AS (
   SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
@@ -849,9 +859,9 @@ SELECT d.doc_id, coalesce(hashed.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN hashed ON d.doc_id = hashed.doc_id
 """
 
-_JACCARD_ON_CANDIDATES_SQL_TAIL = """
+_JACCARD_ON_CANDIDATES_SQL_TAIL = f"""
 , toks AS (
-  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tok
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
   FROM documents
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -868,10 +878,10 @@ JOIN toks ta ON ta.doc_id = p.id_a
 JOIN toks tb ON tb.doc_id = p.id_b
 """
 
-_EVAL_METRICS_SQL = """
+_EVAL_METRICS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source,
-    list_distinct(regexp_extract_all(text, '\\S+')) AS entities
+    list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS entities
   FROM documents
 ), truth AS (
   SELECT source, entities AS truth_entities
@@ -921,7 +931,7 @@ def _degree_sql() -> str:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'gi')"
     expr = (
         f"regexp_replace(regexp_replace({expr}, '\\bDegree\\b$', '', 'i'),"
-        " '^\\s+|\\s+$', '', 'g')"
+        f" '^{_PWS}+|{_PWS}+$', '', 'g')"
     )
     return f"""
         WITH d AS (SELECT doc_id, {_sql_sample(_DEGREE_SAMPLES, 'raw_degree')}
@@ -1015,7 +1025,7 @@ def _skill_join_sql() -> str:
     )
     label_strip = "phrase"
     for label in SKILL_CATEGORY_LABELS:
-        label_strip = f"regexp_replace({label_strip}, '^{label}:\\s*', '')"
+        label_strip = f"regexp_replace({label_strip}, '^{label}:{_PWS}*', '')"
     stop = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
     return f"""
         WITH onto(variant_lower, canonical) AS (VALUES {values}),
@@ -1024,7 +1034,7 @@ def _skill_join_sql() -> str:
         phrases AS (
           SELECT doc_id,
             regexp_replace(unnest(regexp_split_to_array(skills_text,
-              '[\\n,;•/]+')), '^\\s+|\\s+$', '', 'g') AS phrase
+              '[\\n,;•/]+')), '^{_PWS}+|{_PWS}+$', '', 'g') AS phrase
           FROM d
         ), kept AS (
           SELECT doc_id, phrase FROM phrases
@@ -1032,7 +1042,7 @@ def _skill_join_sql() -> str:
         ), cleaned AS (
           SELECT doc_id,
             regexp_replace(regexp_replace({label_strip},
-              '\\([^)]*\\)', '', 'g'), '^\\s+|\\s+$', '', 'g') AS clean
+              '\\([^)]*\\)', '', 'g'), '^{_PWS}+|{_PWS}+$', '', 'g') AS clean
           FROM kept
         ), resolved AS (
           SELECT c.doc_id, coalesce(o.canonical, c.clean) AS skill
@@ -1118,16 +1128,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "summary_trunc": _SUMMARY_SQL,
         "textstats": _TEXTSTATS_SQL,
-        "token_histogram": """
+        "token_histogram": f"""
             SELECT lang, token, count(*)::BIGINT AS cnt
-            FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+            FROM (SELECT lang, unnest(regexp_extract_all(text, '{_WORD_SQL}')) AS token
                   FROM documents)
             GROUP BY lang, token
         """,
-        "dominant_token": """
+        "dominant_token": f"""
             WITH hist AS (
               SELECT lang, token, count(*)::BIGINT AS cnt
-              FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+              FROM (SELECT lang, unnest(regexp_extract_all(text, '{_WORD_SQL}')) AS token
                     FROM documents)
               GROUP BY lang, token
             )
@@ -1143,14 +1153,14 @@ def oracle_sql() -> dict[str, str]:
               count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang
         """,
-        "exact_dedup": """
+        "exact_dedup": f"""
             WITH dup AS (
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents
             )
             SELECT
-              md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+              md5(regexp_replace(regexp_replace(lower(text), '{_PWS}+', ' ', 'g'),
                                  '^ | $', '', 'g')) AS fingerprint,
               min(doc_id) AS keep_id,
               count(*)::BIGINT AS dup_count
@@ -1159,10 +1169,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash": _MINHASH_SQL,
         "minhash_candidates": _MINHASH_CANDIDATES_SQL,
         "jaccard_on_candidates": _minhash_ctes() + ", banded AS (\n  SELECT doc_id, b AS band_idx,\n    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key\n  FROM sig, generate_series(0, 7) AS t(b)\n)" + _JACCARD_ON_CANDIDATES_SQL_TAIL,
-        "jaccard_pairs": """
+        "jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id, source AS bucket,
-                list_distinct(regexp_extract_all(text, '\\S+')) AS tok
+                list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
               FROM documents
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..semantics import PY_WS_JRE
+
 # Java-regex flavor of semantics.{EMAIL_RE, PHONE_RE, ...}
 EMAIL_JRE = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"
 PHONE_JRE = r"(\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b|\+\d{1,3}[-.\s]?\d{3,}[-.\s]?\d{4,})"
@@ -44,7 +46,7 @@ def name_col(text: Column) -> Column:
     letters/whitespace run terminated by a newline. Python-strip
     equivalence needs the regex trim (Spark trim = spaces only)."""
     name = F.regexp_replace(
-        F.regexp_extract(text, NAME_JRE, 1), r"^\s+|\s+$", ""
+        F.regexp_extract(text, NAME_JRE, 1), f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", ""
     )
     return F.nullif(name, F.lit(""))
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..semantics import PY_WS_JRE
+
 AS_OF_ISO = "2025-07-11"
 
 PRESENT_JRE = r"(?i)\b(present|current|ongoing|now)\b"
@@ -38,7 +40,7 @@ def _month_num(name: Column) -> Column:
 def parse_date_col(s: Column) -> Column:
     """Deterministic subset of semantics.normalize_date as one column
     expression; returns DATE or NULL."""
-    trimmed = F.regexp_replace(s, r"^\s+|\s+$", "")
+    trimmed = F.regexp_replace(s, f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", "")
 
     iso = F.to_date(F.nullif(F.regexp_extract(trimmed, ISO_JRE, 0), F.lit("")))
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..semantics import TITLE_ABBREVIATIONS
+from ..semantics import PY_WS_JRE, TITLE_ABBREVIATIONS
 
 COMPANY_SUFFIX_JRE = (
     r"(?i)\b(Inc|Incorporated|Corp|Corporation|Co|Company|Ltd|Limited|"
@@ -24,7 +24,7 @@ def strip_company_suffixes_col(name: Column) -> Column:
     """experience_normalizer.py:56-75: artifact strip + suffix strip."""
     cleaned = F.regexp_replace(name, r"[^\w\s&.,-]", "")
     cleaned = F.regexp_replace(cleaned, COMPANY_SUFFIX_JRE, "")
-    return F.regexp_replace(cleaned, r"^\s+|\s+$", "")
+    return F.regexp_replace(cleaned, f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", "")
 
 
 def expand_title_col(title: Column) -> Column:

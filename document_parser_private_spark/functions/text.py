@@ -5,21 +5,27 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..semantics import PY_WS_JRE, PY_WS_JRE_INNER
+
 SKILL_SPLIT_JRE = r"[\n,;•/]+"
 # Java split() supports lookahead — reference entity_extractor.py:135,166,280
 ENTRY_SPLIT_JRE = r"\n(?=[A-Z][^a-z])"
-BULLET_STRIP_JRE = r"^[\s•\-*]+\s*"
+# Python twin (semantics.py parse_project_entry) uses re \s (Unicode) in the
+# bullet class, so the native class carries the full Python whitespace set.
+BULLET_STRIP_JRE = f"^[{PY_WS_JRE_INNER}•\\-*]+{PY_WS_JRE}*"
 
 
 def ws_trim(col: Column) -> Column:
-    """Python-str.strip()-equivalent trim: all whitespace, both ends.
-    (Spark's `trim` strips ASCII spaces only — not \\n/\\t.)"""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    """Python-str.strip()-equivalent trim: the full 29-char Python
+    whitespace set, both ends. (Java \\s — and Spark `trim` — are
+    ASCII-only; see semantics.PY_WS_JRE.)"""
+    return F.regexp_replace(col, f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", "")
 
 
 def collapse_ws(col: Column) -> Column:
-    """Whitespace collapse + trim (entity_extractor.py:87)."""
-    return ws_trim(F.regexp_replace(col, r"\s+", " "))
+    """Whitespace collapse + trim (entity_extractor.py:87); twin of
+    ``re.sub(r"\\s+", " ", s).strip()`` with Python-Unicode \\s."""
+    return ws_trim(F.regexp_replace(col, f"{PY_WS_JRE}+", " "))
 
 
 def summary_col(col: Column) -> Column:

@@ -17,30 +17,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Java-regex flavors of semantics.{PAGE_FURNITURE_RE, NAV_MENU_RE, ...}.
+from ..semantics import (
+    CONTACT_LINE_PAT,
+    LINK_TOKEN_PAT,
+    NAV_MENU_PAT,
+    PAGE_FURNITURE_PAT,
+    PY_WS_JRE,
+)
+
+# The pattern strings are SHARED with the Python oracle (semantics.py
+# compiles them with re.ASCII so \s \S \d \w \b mean the same ASCII
+# classes as Java's defaults; `.` is spelled [^\n] in the shared source
+# because Java-dot excludes more line terminators than Python-dot).
 # Java `rlike` is a substring search; fullmatch patterns keep ^...$.
-PAGE_FURNITURE_JRE = (
-    r"(?i)^\s*("
-    r"page\s+\d+(\s+of\s+\d+)?"
-    r"|\d+\s*/\s*\d+"
-    r"|\d{1,4}"
-    r"|[-_=*•.·]{3,}"
-    r"|(©|\(c\)|copyright)\s.*"
-    r"|all\s+rights\s+reserved.*"
-    r"|confidential(\s+document)?"
-    r"|generated\s+by\s+\S+"
-    r"|downloaded\s+from\s+\S+"
-    r")\s*$"
-)
-NAV_MENU_JRE = r"^\s*[A-Z][\w]{1,14}(\s*[|•]\s*[A-Z][\w]{1,14}){2,}\s*$"
-LINK_TOKEN_JRE = r"(?i)^(https?://\S+|www\.\S+|\S+\.(com|org|net|io|dev|co)(/\S*)?)$"
-CONTACT_LINE_JRE = (
-    r"(?i)(\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
-    r"|\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b"
-    r"|\(\d{3}\)\s*\d{3}[-.\s]?\d{4}"
-    r"|linkedin\.com/(in|pub)/[A-Za-z0-9-]+"
-    r"|github\.com/[A-Za-z0-9-]+)"
-)
+PAGE_FURNITURE_JRE = PAGE_FURNITURE_PAT
+NAV_MENU_JRE = NAV_MENU_PAT
+LINK_TOKEN_JRE = LINK_TOKEN_PAT
+CONTACT_LINE_JRE = CONTACT_LINE_PAT
 
 LINK_DENSITY_THRESHOLD = 0.5
 LINK_DENSITY_MIN_TOKENS = 3
@@ -49,14 +42,15 @@ LINK_DENSITY_MIN_TOKENS = 3
 def _is_boilerplate(s: Column) -> Column:
     """Boilerplate predicate for one span struct (non-media).
 
-    Whitespace trim is regex-based: Spark's trim() strips only ASCII
-    spaces while Python str.strip() (the reference semantics) strips
-    \\t \\r \\n too — a \\r-only span must be dropped as empty on both
-    sides (caught by the classify parity property test)."""
+    The trim and the link-density tokenizer must follow Python
+    str.strip()/str.split() (the authoritative semantics) — Java \\s is
+    ASCII-only and misses \\x1c-\\x1f, \\x85, \\xa0, U+2000.. which
+    Python treats as whitespace, so both use the explicit PY_WS_JRE
+    class (caught by the classify parity property test on '\\x1f')."""
     text = F.regexp_replace(
-        F.coalesce(s["text"], F.lit("")), r"^\s+|\s+$", ""
+        F.coalesce(s["text"], F.lit("")), f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", ""
     )
-    tokens = F.split(text, r"\s+")
+    tokens = F.split(text, f"{PY_WS_JRE}+")
     n_tokens = F.size(tokens)
     n_links = F.size(F.filter(tokens, lambda t: t.rlike(LINK_TOKEN_JRE)))
     link_farm = (n_tokens >= LINK_DENSITY_MIN_TOKENS) & (

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import fingerprint_col
+from .textstats import WORD_RE, fingerprint_col
 
 N_MINHASHES = 16
 N_BANDS = 8  # rows-per-band = N_MINHASHES // N_BANDS = 2
@@ -40,7 +40,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def word_shingles_col(text: Column, k: int = 3) -> Column:
     """k-word shingles; whole text when shorter than k words."""
-    words = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
+    words = F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0))
     n = F.size(words)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
@@ -213,7 +213,7 @@ def jaccard_pairs(df: DataFrame, bucket_col: str = "source",
         F.col(bucket_col).alias("bucket"),
         F.explode(
             F.array_distinct(
-                F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
             )
         ).alias("token"),
     )
@@ -295,7 +295,7 @@ def jaccard_on_candidates(df: DataFrame, id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col),
         F.array_distinct(
-            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
         ).alias("tok"),
     )
     a = toks.select(F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"))

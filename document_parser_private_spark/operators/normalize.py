@@ -57,9 +57,10 @@ def clean_phrase_col(col):
     """Category-label + parenthetical strip (skill_normalizer.py:59-62)."""
     out = col
     for label in S.SKILL_CATEGORY_LABELS:
-        out = F.regexp_replace(out, f"^{label}:\\s*", "")
+        # Python twin uses re \s (Unicode) after the colon — mirror it.
+        out = F.regexp_replace(out, f"^{label}:{S.PY_WS_JRE}*", "")
     out = F.regexp_replace(out, r"\([^)]*\)", "")
-    return F.regexp_replace(out, r"^\s+|\s+$", "")
+    return F.regexp_replace(out, f"^{S.PY_WS_JRE}+|{S.PY_WS_JRE}+$", "")
 
 
 def normalize_skills_join(

@@ -27,8 +27,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-WORD_RE = r"\S+"
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+from ..semantics import PY_WS_JRE, PY_WS_JRE_INNER
+
+# "Whitespace" in every textstats formula is the Python str.split() set
+# (semantics.PY_WS_*), spelled as an explicit class so the Java, RE2
+# (DuckDB twin), and Python (simhash64_udf's text.split()) renderings
+# agree — engine-native \s differs on \x0b/\x1c-\x1f/\xa0/U+2000..
+WORD_RE = f"[^{PY_WS_JRE_INNER}]+"
+BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{PY_WS_JRE_INNER}]"
+PUNCT_RE = f"[^A-Za-z0-9{PY_WS_JRE_INNER}]"
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -58,7 +65,7 @@ def quality_score_col(text: Column) -> Column:
     words = token_count_col(text).cast("double")
     stop_hits = _hits(text, STOPWORDS_EN).cast("double")
     punct = F.size(
-        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0))
     ).cast("double")
     chars = F.length(text).cast("double")
     w = F.greatest(words, F.lit(1.0))
@@ -84,7 +91,7 @@ def lang_guess_col(text: Column) -> Column:
 
 def fingerprint_col(text: Column) -> Column:
     normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(text), r"\s+", " "), r"^ | $", ""
+        F.regexp_replace(F.lower(text), f"{PY_WS_JRE}+", " "), r"^ | $", ""
     )
     return F.md5(normalized)
 
@@ -147,7 +154,7 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
     toks = df.select(
         F.col(id_col),
         F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
         ).alias("tok"),
     ).select(
         F.col(id_col),

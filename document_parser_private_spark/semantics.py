@@ -43,6 +43,30 @@ from typing import Optional
 AS_OF = date(2025, 7, 11)  # pinned replacement for date.today() ("Present")
 
 # ---------------------------------------------------------------------------
+# Whitespace contract
+# ---------------------------------------------------------------------------
+# Structural whitespace (trim / collapse / empty-check / tokenize) follows
+# Python ``str.strip()`` / ``str.split()`` — the 29-codepoint set where
+# ``str.isspace()`` is true (identical to Python-re Unicode ``\s``). The
+# JVM / RE2 sides cannot use their own ``\s`` for this (Java \s is ASCII-only
+# and misses \x1c-\x1f, \x85, \xa0, U+1680, U+2000.., which Python strips),
+# so they use PY_WS_JRE: an explicit character class rendered with \x{..}
+# escapes valid in BOTH Java regex and RE2/DuckDB. Pattern-internal \s in
+# the recognition regexes below is intentionally ASCII on all three engines
+# (Python patterns pinned with re.ASCII), so e.g. "page\xa03" is content on
+# every side rather than furniture on one.
+PY_WS_CODEPOINTS = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+PY_WS_CHARS = "".join(chr(c) for c in PY_WS_CODEPOINTS)
+# Character class usable verbatim in Java regex (Spark) and RE2 (DuckDB).
+PY_WS_JRE_INNER = "".join(f"\\x{{{c:x}}}" for c in PY_WS_CODEPOINTS)
+PY_WS_JRE = "[" + PY_WS_JRE_INNER + "]"
+
+# ---------------------------------------------------------------------------
 # Section detection (FSM) — behavior of section_detector.py
 # ---------------------------------------------------------------------------
 
@@ -250,36 +274,48 @@ def detect_sections(lines: list[str]) -> dict[str, str]:
 # classify.py) and mirrored by the oracle. Every rule is a deterministic
 # regex/ratio on the span text.
 
-PAGE_FURNITURE_RE = re.compile(
+# Pattern SOURCE STRINGS shared verbatim with the JVM side
+# (operators/classify.py). Constraints that keep one string valid and
+# equivalent on both engines:
+#   - compiled with re.ASCII in Python so \s \S \d \w \b match Java/RE2
+#     defaults (ASCII); the classification token syntax is intentionally
+#     ASCII — see the whitespace contract above;
+#   - `.` is spelled [^\n] because Python-dot excludes only \n while
+#     Java-dot also excludes \r, \x85, U+2028, U+2029;
+#   - input is pre-stripped with the FULL Python whitespace set on both
+#     sides, so the ^\s*/\s*$ anchoring never sees exotic whitespace.
+PAGE_FURNITURE_PAT = (
     r"(?i)^\s*("
     r"page\s+\d+(\s+of\s+\d+)?"  # Page 3 of 12
     r"|\d+\s*/\s*\d+"  # 3 / 12
     r"|\d{1,4}"  # bare page number
     r"|[-_=*•.·]{3,}"  # separator rules
-    r"|(©|\(c\)|copyright)\s.*"  # copyright lines
-    r"|all\s+rights\s+reserved.*"
+    r"|(©|\(c\)|copyright)\s[^\n]*"  # copyright lines
+    r"|all\s+rights\s+reserved[^\n]*"
     r"|confidential(\s+document)?"
     r"|generated\s+by\s+\S+"
     r"|downloaded\s+from\s+\S+"
     r")\s*$"
 )
-
-NAV_MENU_RE = re.compile(
+NAV_MENU_PAT = (
     # >=3 short title-case tokens separated by | or • : "Home | About | Jobs"
     r"^\s*[A-Z][\w]{1,14}(\s*[|•]\s*[A-Z][\w]{1,14}){2,}\s*$"
 )
-
-LINK_TOKEN_RE = re.compile(
+LINK_TOKEN_PAT = (
     r"(?i)^(https?://\S+|www\.\S+|\S+\.(com|org|net|io|dev|co)(/\S*)?)$"
 )
-
-CONTACT_LINE_RE = re.compile(
+CONTACT_LINE_PAT = (
     r"(?i)(\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"  # email
     r"|\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b"  # phone
     r"|\(\d{3}\)\s*\d{3}[-.\s]?\d{4}"  # (123) 456-7890
     r"|linkedin\.com/(in|pub)/[A-Za-z0-9-]+"
     r"|github\.com/[A-Za-z0-9-]+)"
 )
+
+PAGE_FURNITURE_RE = re.compile(PAGE_FURNITURE_PAT, re.ASCII)
+NAV_MENU_RE = re.compile(NAV_MENU_PAT, re.ASCII)
+LINK_TOKEN_RE = re.compile(LINK_TOKEN_PAT, re.ASCII)
+CONTACT_LINE_RE = re.compile(CONTACT_LINE_PAT, re.ASCII)
 
 LINK_DENSITY_THRESHOLD = 0.5
 LINK_DENSITY_MIN_TOKENS = 3
@@ -848,7 +884,9 @@ def extract_skills(
     phrases = [p.strip() for p in re.split(SKILL_SPLIT_RE, skills_text) if p.strip()]
     normalized: set[str] = set()
     for phrase in phrases:
-        if len(phrase) <= 1 or phrase.isdigit():
+        # ASCII-digit check (not str.isdigit(), which also accepts Unicode
+        # Nd/No chars the JVM twin's \d never matches — parity contract).
+        if len(phrase) <= 1 or re.fullmatch(r"\d+", phrase, re.ASCII):
             continue
         norm = normalize_skill(
             phrase, lower_index, variant_to_canonical, index, threshold,
