@@ -46,6 +46,7 @@ EDUCATION_TYPE = T.ArrayType(T.StructType([
     T.StructField("end_date", T.DateType()),
     T.StructField("description", T.StringType()),
     T.StructField("gpa", T.DoubleType()),
+    T.StructField("achievements", T.ArrayType(T.StringType())),
 ]))
 EXPERIENCE_TYPE = T.ArrayType(T.StructType([
     T.StructField("company", T.StringType()),

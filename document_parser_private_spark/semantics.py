@@ -981,10 +981,68 @@ def split_entries(section_text: str) -> list[str]:
     return [e.strip() for e in re.split(ENTRY_SPLIT_RE, section_text) if e.strip()]
 
 
+# --- F14: field-of-study normalization (education_normalizer.py:145-165) ---
+
+FIELD_ABBREV: tuple[tuple[str, str], ...] = (
+    (r"\bCS\b", "Computer Science"),
+    (r"\bEE\b", "Electrical Engineering"),
+    (r"\bCE\b", "Computer Engineering"),
+    (r"\bMIS\b", "Management Information Systems"),
+)
+
+# The reference ships no data/education/fields.json (its loader falls back
+# to {}); this original mapping is shaped like its unit-test fixture so
+# variant canonicalization is a real, exercised path.
+FIELD_MAPPING: dict[str, list[str]] = {
+    "Computer Science": ["Comp Sci", "CompSci", "Computing Science"],
+    "Electrical Engineering": ["Electric Engineering"],
+    "Computer Engineering": ["Comp Engineering"],
+    "Business Administration": ["Business Admin"],
+    "Information Technology": ["IT"],
+    "Management Information Systems": ["Info Systems"],
+}
+
+# raw-field capture for keyword misses: "BS in CS", "Master of Comp Sci"
+FIELD_AFTER_DEGREE_RE = (
+    r"(?i)\b(?:bachelor|master|phd|bsc|msc|mba|ba|bs|ms|ma)\b\.?\s*"
+    r"(?:of\s+(?:science|arts)\s+)?(?:of|in)\s+([A-Za-z][A-Za-z &]*)"
+)
+
+
+def normalize_field(field: str, mapping: Optional[dict[str, list[str]]] = None) -> str:
+    """Field-of-study normalization (education_normalizer.py:145-165):
+    CS/EE/CE/MIS abbreviation expansion, camelCase word split, then
+    case-insensitive canonicalization against the field mapping;
+    passthrough otherwise."""
+    if not field:
+        return ""
+    clean = field
+    for pat, repl in FIELD_ABBREV:
+        clean = re.sub(pat, repl, clean, flags=re.IGNORECASE)
+    clean = re.sub(r"([a-z])([A-Z])", r"\1 \2", clean)
+    if not clean:
+        return field
+    mapping = FIELD_MAPPING if mapping is None else mapping
+    low = clean.lower()
+    for canonical, variants in mapping.items():
+        if low == canonical.lower():
+            return canonical
+        if any(low == v.lower() for v in variants):
+            return canonical
+    return clean
+
+
 def extract_field_of_study(text: str) -> Optional[str]:
+    """F15 keyword lookup, with an F14 fallback: when no known field
+    keyword appears, capture the phrase after 'in/of' following a degree
+    word ('BS in CS') and run it through normalize_field."""
     for field in FIELDS_OF_STUDY:
         if re.search(r"(?i)\b" + re.escape(field) + r"\b", text):
             return field
+    m = re.search(FIELD_AFTER_DEGREE_RE, text)
+    if m:
+        normalized = normalize_field(m.group(1).strip())
+        return normalized or None
     return None
 
 
@@ -1032,6 +1090,74 @@ def parse_project_entry(text: str) -> tuple[str, Optional[str]]:
     name = re.sub(r"^[\s•\-*]+\s*", "", name)
     name = re.sub(r":\s*", "", name)
     return name, description
+
+
+# --- F21: experience description cleanup (experience_normalizer.py:137-154)
+
+def normalize_description(description: str) -> str:
+    """Job-description cleanup: strip leading bullets/numbering per line
+    (multiline ^[\\s•\\-*]+), collapse whitespace to single spaces, trim,
+    capitalize the first letter."""
+    if not description:
+        return ""
+    description = re.sub(r"^[\s•\-*]+", "", description, flags=re.MULTILINE)
+    description = re.sub(r"\s+", " ", description).strip()
+    if description:
+        description = description[0].upper() + description[1:]
+    return description
+
+
+# --- F26: achievements extraction FSM (education_normalizer.py:236-295) ---
+
+ACHIEVEMENT_MARKERS = (
+    "achievements:", "accomplishments:", "awards:", "honors:",
+    "academic achievements", "notable achievements",
+)
+ACHIEVEMENT_INDICATORS = (
+    "awarded", "received", "achieved", "earned", "graduated",
+    "dean's list", "honor roll", "distinction", "cum laude",
+    "gpa", "grade", "score", "rank", "medal", "prize",
+    "scholarship", "fellowship", "grant",
+)
+DEFAULT_ACHIEVEMENT = "Successfully completed coursework and requirements"
+
+
+def extract_achievements(description: str) -> tuple[list[str], str]:
+    """Achievements FSM over an education entry's description lines:
+    marker lines flip into achievements mode; bullet/numbered lines are
+    achievements anywhere; in-mode plain lines are achievements too.
+    Falls back to indicator-keyword lines, then to the default filler.
+    Returns (achievements, description rewritten to the non-achievement
+    lines). A bullet line that strips to nothing falls through to the
+    mode branch, exactly like the reference's control flow."""
+    achievements: list[str] = []
+    kept: list[str] = []
+    in_ach = False
+    for line in (description or "").split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        low = line.lower()
+        if any(m in low for m in ACHIEVEMENT_MARKERS):
+            in_ach = True
+            continue
+        if line.startswith("•") or line.startswith("-") or re.match(r"^\d+\.", line):
+            ach = line.lstrip("•- ").strip()
+            if ach:
+                achievements.append(ach)
+                continue
+        if in_ach:
+            achievements.append(line)
+        else:
+            kept.append(line)
+    if not achievements:
+        for line in kept:
+            low = line.lower()
+            if any(ind in low for ind in ACHIEVEMENT_INDICATORS):
+                achievements.append(line)
+    if not achievements:
+        achievements = [DEFAULT_ACHIEVEMENT]
+    return achievements, "\n".join(kept)
 
 
 # ---------------------------------------------------------------------------
@@ -1156,6 +1282,7 @@ def extract_education_entries(
     entries = []
     for entry in split_entries(text):
         start, end = extract_period(entry, as_of)
+        achievements, description = extract_achievements(entry)
         entries.append({
             "institution": normalize_institution(
                 extract_institution_raw(entry) or "", institutions
@@ -1164,8 +1291,9 @@ def extract_education_entries(
             "field_of_study": extract_field_of_study(entry),
             "start_date": start,
             "end_date": end,
-            "description": entry,
+            "description": description,
             "gpa": extract_gpa(entry),
+            "achievements": achievements,
         })
     return entries
 
@@ -1196,7 +1324,7 @@ def extract_experience_entries(
             "position": normalize_title(extract_position_raw(entry) or "", titles),
             "start_date": str(start) if start else None,
             "end_date": str(end) if end else None,
-            "description": entry,
+            "description": normalize_description(entry),
             "technologies": technologies,
             "duration_months": duration_months(start, end, as_of),
         })
@@ -1330,8 +1458,9 @@ def layout_reading_order(spans: list[dict]) -> list[dict]:
       2. cluster ys into lines (gap > LINE_GAP starts a new line)
       3. detect a column gutter: the largest x-gap >= GUTTER_MIN with
          >= COL_MIN_SPANS spans on each side
-      4. reading order = (column, line, x, stored index) — column-major,
-         top-down, left-right; stable on ties
+      4. reading order = (column, line, x, y, stored index) —
+         column-major, top-down, left-right; geometric y-tiebreak within
+         a merged line cluster, stored order only for exact (y, x) ties
 
     Single-column docs (all x within GUTTER_MIN) degrade to plain y-order,
     so the pass is safe to run unconditionally.
@@ -1365,9 +1494,12 @@ def layout_reading_order(spans: list[dict]) -> list[dict]:
             if left >= COL_MIN_SPANS and len(pts) - left >= COL_MIN_SPANS:
                 gutter = best_x
 
-    def key(p: tuple[int, int, int]) -> tuple[int, int, int, int]:
+    def key(p: tuple[int, int, int]) -> tuple[int, int, int, int, int]:
         y, x, i = p
         col = 0 if gutter is None or x < gutter else 1
-        return (col, line_of[y], x, i)
+        # y before stored index: two same-x spans merged into one line
+        # cluster must order by geometry, not by array order (hypothesis
+        # stored-order-invariance property)
+        return (col, line_of[y], x, y, i)
 
     return [spans[i] for (_, _, i) in sorted(pts, key=key)]

@@ -101,6 +101,8 @@ def test_education_experience_projects(spark, corpus_rows, result_by_id):
             assert g["start_date"] == x["start_date"], (doc_id, g, x)
             assert g["end_date"] == x["end_date"], doc_id
             assert g["gpa"] == pytest.approx(x["gpa"]) if x["gpa"] is not None else g["gpa"] is None
+            assert g["description"] == x["description"], doc_id  # F26 rewrite
+            assert list(g["achievements"]) == x["achievements"], doc_id
 
         exp_exp = S.extract_experience_entries(
             e.sections.get("experience", ""),
@@ -111,6 +113,7 @@ def test_education_experience_projects(spark, corpus_rows, result_by_id):
         for g, x in zip(got_exp, exp_exp):
             assert g["company"] == x["company"], doc_id
             assert g["position"] == x["position"], doc_id
+            assert g["description"] == x["description"], doc_id  # F21 cleanup
             assert g["start_date"] == x["start_date"], doc_id
             assert g["end_date"] == x["end_date"], doc_id
             assert list(g["technologies"]) == x["technologies"], doc_id

@@ -269,3 +269,83 @@ def test_layout_reading_order_stored_order_invariant():
         assert base == again
 
     prop()
+
+
+# --- F14: normalize_field (reference education_normalizer.py:145-165,
+#     cases mirror its unit test test_EducationNormalizer.py:84-93) ---
+
+@pytest.mark.parametrize("raw,expected", [
+    ("CS", "Computer Science"),
+    ("EE", "Electrical Engineering"),
+    ("CE", "Computer Engineering"),
+    ("MIS", "Management Information Systems"),
+    ("Computer Science", "Computer Science"),
+    ("Comp Sci", "Computer Science"),
+    ("ComputerScience", "Computer Science"),          # camelCase split
+    ("electrical engineering", "Electrical Engineering"),
+    ("Mechanical Engineering", "Mechanical Engineering"),  # passthrough
+    ("", ""),
+])
+def test_normalize_field(raw, expected):
+    assert S.normalize_field(raw) == expected
+
+
+def test_field_of_study_fallback_via_degree_phrase():
+    # F15 keyword miss -> F14 capture+normalize ("BS in CS")
+    assert S.extract_field_of_study("BS in CS, 2019") == "Computer Science"
+    assert S.extract_field_of_study("Master of Science in Comp Sci") == "Computer Science"
+    # keyword path unchanged
+    assert S.extract_field_of_study("BS in Computer Science") == "computer science"
+    assert S.extract_field_of_study("no degree here") is None
+
+
+# --- F21: normalize_description (experience_normalizer.py:137-154) ---
+
+@pytest.mark.parametrize("raw,expected", [
+    ("", ""),
+    ("• built the thing\n- shipped it\n  * maintained it",
+     "Built the thing shipped it maintained it"),
+    ("   led a team\nof five", "Led a team of five"),
+    ("already Clean.", "Already Clean."),
+])
+def test_normalize_description(raw, expected):
+    assert S.normalize_description(raw) == expected
+
+
+# --- F26: achievements FSM (education_normalizer.py:236-295) ---
+
+def test_achievements_marker_section():
+    desc = ("MIT\nBS in CS\nAchievements:\nDean's List 2019\nTop of class\n")
+    ach, rest = S.extract_achievements(desc)
+    assert ach == ["Dean's List 2019", "Top of class"]
+    assert rest == "MIT\nBS in CS"
+
+
+def test_achievements_bullets_anywhere():
+    desc = "MIT\n• Won the prize\n1. Ranked first\nplain line"
+    ach, rest = S.extract_achievements(desc)
+    # numbered lines keep their "1. " prefix: the reference strips only
+    # the '•', '-', ' ' chars (education_normalizer.py:258)
+    assert ach == ["Won the prize", "1. Ranked first"]
+    assert rest == "MIT\nplain line"
+
+
+def test_achievements_indicator_fallback():
+    desc = "MIT\nGraduated with distinction\nregular line"
+    ach, rest = S.extract_achievements(desc)
+    assert ach == ["Graduated with distinction"]
+    assert rest == "MIT\nGraduated with distinction\nregular line"
+
+
+def test_achievements_default_filler():
+    ach, rest = S.extract_achievements("MIT\njust text")
+    assert ach == [S.DEFAULT_ACHIEVEMENT]
+    assert rest == "MIT\njust text"
+
+
+def test_achievements_empty_bullet_falls_through():
+    # a line of only bullet chars strips to nothing -> kept-branch, like
+    # the reference control flow
+    ach, rest = S.extract_achievements("•-\nplain")
+    assert ach == [S.DEFAULT_ACHIEVEMENT]
+    assert rest == "•-\nplain"
