@@ -440,15 +440,18 @@ def _q_skill_normalize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U6 full multi-entity anonymization, hash strategy (pandas UDF;
-    rows-only — per-match sha256 inside a replacement loop isn't SQL)."""
+    """U6 full multi-entity anonymization, hash strategy (pandas UDF over
+    semantics.anonymize_text: EMAIL+PHONE+SSN recognizers, overlap
+    suppression, [TYPE_sha256-8hex] replacement). The corpus tail is
+    digit/@-stripped so the only recognizer hits are the constructed
+    ones, which the DuckDB twin re-derives with its own sha256."""
     from document_parser_private_spark.operators.pii import anonymize_op
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.lit("contact user"), F.col("doc_id").cast("string"),
             F.lit("@mail.example or 555-123-4567 ssn 123-45-6789 :: "),
-            F.substring("text", 1, 40),
+            F.regexp_replace(F.substring("text", 1, 40), "[0-9@]", ""),
         ).alias("text"),
     )
     return anonymize_op(d).select("doc_id", "anonymized")
@@ -468,24 +471,28 @@ def _q_pii_mask_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", mask_emails_col(F.col("text")).alias("masked"))
 
 
+# Single-entry samples (no internal capital-start lines), so the full
+# UDF chain — entry split, period split, date parse, degree/field/GPA,
+# company/position, duration — is exercised AND DuckDB-twinnable.
 _EDU_SAMPLES = [
-    "EDUCATION:\nBS in CS\nState University, Anytown\n2015 - 2019\nGPA: 3.7",
-    "EDUCATION:\nMasters of Business Admin\nTech Institute\nSep 2018 to Jun 2020",
-    "EDUCATION:\nPhD Physics\nNational College\n2010 - Present\nGPA 3.9 out of 4",
+    "BS in CS from State University, 2015 - 2019, GPA: 3.7",
+    "MBA, Tech Institute, Sep 2018 to Jun 2020",
+    "PhD Physics, National College, 2010 - Present, GPA 3.9 out of 4",
 ]
 _EXP_SAMPLES = [
-    "EXPERIENCE:\nAcme Corp Inc\nSr. SWE\nJan 2020 - Present\n- Built pipelines using Python, Spark",
-    "EXPERIENCE:\nGlobex Ltd\nTech Lead\nMar 2015 to Feb 2018\n- Led a team using Java",
-    "EXPERIENCE:\nInitech LLC\nJr. Dev\n2019 - 2021\n- Maintained batch jobs using SQL",
+    "Acme Corp Inc, software engineer, Jan 2020 - Present. Built pipelines"
+    " using Python, Spark",
+    "Globex Ltd, data scientist, Mar 2015 to Feb 2018",
+    "Initech LLC, project manager, 2019 - 2021",
 ]
 
 
 def _q_resume_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1/U3/U4 composite: education + experience entry extraction with
-    degree/title expansion, date parsing, GPA, duration-months — the
-    richest UDF extractors (rows-only: lookahead entry splits and the
-    date-parser chain are beyond DuckDB's RE2; semantics are pinned by
-    the golden-fixture pytest suite instead)."""
+    """U1/U3/U4 composite: education + experience entry extraction —
+    institution/degree/field-of-study (F14)/GPA/dates on the education
+    side, company/position/duration-months on the experience side, all
+    through the real pandas-UDF extractors; oracled column-by-column in
+    DuckDB (period split + date chain replicated in SQL)."""
     from document_parser_private_spark.operators.resume import (
         _education_udf, _experience_udf,
     )
@@ -503,10 +510,41 @@ def _q_resume_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("edu")["institution"].alias("institution"),
         F.col("edu")["degree"].alias("degree"),
+        F.col("edu")["field_of_study"].alias("field_of_study"),
         F.col("edu")["gpa"].alias("gpa"),
+        F.col("edu")["start_date"].alias("edu_start"),
         F.col("exp")["company"].alias("company"),
         F.col("exp")["position"].alias("position"),
+        F.col("exp")["start_date"].alias("exp_start"),
         F.col("exp")["duration_months"].alias("duration_months"),
+    )
+
+
+# Misspelled-skill samples whose fuzzy resolution through the WRatio
+# scorer is deterministic; 'Tensorflw' scores below the 80 threshold and
+# passes through — the miss case.
+_FUZZY_SKILL_SAMPLES = [
+    "Pythn; Javascrpt\nDockr",
+    "Kuberntes, Reactt; Tensorflw",
+    "Sparkk / machne learning; Javva",
+    "Postgress, Pythn",
+]
+
+
+def _q_skill_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/U3 fuzzy path: every phrase misses the exact broadcast join and
+    resolves through _fuzzy_only_udf (from-scratch WRatio fuzzy scan).
+    The DuckDB twin maps each misspelling via a literal table precomputed
+    from the same deterministic scorer."""
+    from document_parser_private_spark.operators.normalize import (
+        normalize_skills_join,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_FUZZY_SKILL_SAMPLES).alias("skills_text")
+    )
+    out = normalize_skills_join(d, fuzzy=True)
+    return out.select(
+        "doc_id", F.array_join("skills", ",").alias("skills_csv")
     )
 
 
@@ -586,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "fuzzy_eval": _q_fuzzy_eval,
         "resume_entities": _q_resume_entities,
+        "skill_fuzzy_join": _q_skill_fuzzy_join,
         "minhash_candidates": _q_minhash_candidates,
         "jaccard_on_candidates": _q_jaccard_on_candidates,
         "skill_normalize_join": _q_skill_normalize_join,
@@ -914,8 +953,11 @@ def _sql_sample(samples: list[str], alias: str) -> str:
     return f"({arr})[(doc_id % {len(samples)}) + 1] AS {alias}"
 
 
-def _degree_sql() -> str:
-    expr = "regexp_replace(raw_degree, '[^\\w\\s]', '', 'g')"
+def _sql_expand_degree(col: str) -> str:
+    """semantics.expand_degree as a regexp_replace chain (sequential
+    replaces are equivalent to the Python one-pass alternation on inputs
+    whose expansions introduce no new abbreviations)."""
+    expr = f"regexp_replace({col}, '[^\\w\\s]', '', 'g')"
     chain = [
         (r"\bMBA\b", "Master of Business Administration"),
         (r"\bPHD\b", "Doctor of Philosophy"),
@@ -929,10 +971,14 @@ def _degree_sql() -> str:
     ]
     for pat, repl in chain:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'gi')"
-    expr = (
+    return (
         f"regexp_replace(regexp_replace({expr}, '\\bDegree\\b$', '', 'i'),"
         f" '^{_PWS}+|{_PWS}+$', '', 'g')"
     )
+
+
+def _degree_sql() -> str:
+    expr = _sql_expand_degree("raw_degree")
     return f"""
         WITH d AS (SELECT doc_id, {_sql_sample(_DEGREE_SAMPLES, 'raw_degree')}
                    FROM documents),
@@ -1056,9 +1102,242 @@ def _skill_join_sql() -> str:
     """
 
 
+# --- resume_entities twin: period split + date chain + degree/field/GPA
+#     chains replicated in DuckDB SQL over the controlled single-entry
+#     samples (entry split is the identity there) ---
+
+def _sql_date(col: str) -> str:
+    """DATE-or-NULL CASE mirroring semantics.normalize_date for the
+    sampled shapes: Present -> pinned as_of; ISO; quarter; month-name +
+    year (single leftmost search, exactly like the Python chain — a
+    leading non-month word swallows the match and falls through); numeric
+    month; bare year."""
+    mname = f"regexp_extract({col}, '(?i)([a-zA-Z]+)[^\\d]*(\\d{{4}})', 1)"
+    myear = f"regexp_extract({col}, '(?i)([a-zA-Z]+)[^\\d]*(\\d{{4}})', 2)"
+    mnum = (
+        f"CASE lower(substr({mname}, 1, 3)) "
+        + " ".join(
+            f"WHEN '{m}' THEN {i + 1}"
+            for i, m in enumerate(
+                ["jan", "feb", "mar", "apr", "may", "jun",
+                 "jul", "aug", "sep", "oct", "nov", "dec"])
+        )
+        + " END"
+    )
+    nmon = f"regexp_extract({col}, '(\\d{{1,2}})[^\\d]*(\\d{{4}})', 1)"
+    nyear = f"regexp_extract({col}, '(\\d{{1,2}})[^\\d]*(\\d{{4}})', 2)"
+    return f"""CASE
+      WHEN coalesce({col}, '') = '' THEN NULL
+      WHEN regexp_matches({col}, '(?i)\\b(present|current|ongoing|now)\\b')
+        THEN DATE '2025-07-11'
+      WHEN regexp_extract({col}, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}})$', 0) != ''
+        THEN strptime({col}, '%Y-%m-%d')::DATE
+      WHEN regexp_extract({col}, '(?i)\\bQ([1-4])\\s*(\\d{{4}})\\b', 1) != ''
+        THEN make_date(
+          regexp_extract({col}, '(?i)\\bQ([1-4])\\s*(\\d{{4}})\\b', 2)::INT,
+          (regexp_extract({col}, '(?i)\\bQ([1-4])\\s*(\\d{{4}})\\b', 1)::INT - 1) * 3 + 1, 1)
+      WHEN {mname} != '' AND ({mnum}) IS NOT NULL
+        THEN make_date({myear}::INT, {mnum}, 1)
+      WHEN {nmon} != '' AND {nmon}::INT BETWEEN 1 AND 12
+        THEN make_date({nyear}::INT, {nmon}::INT, 1)
+      WHEN regexp_extract({col}, '(\\d{{4}})', 1) != ''
+        THEN make_date(regexp_extract({col}, '(\\d{{4}})', 1)::INT, 1, 1)
+      ELSE NULL
+    END"""
+
+
+def _sql_period_side(col: str, side: int) -> str:
+    """First-delimiter period split (semantics.extract_period: ' to '
+    before ' - '; samples are single-occurrence). side 1 = start text,
+    side 2 = end text; no delimiter -> whole string on both sides."""
+    return f"""CASE
+      WHEN regexp_matches({col}, '\\s+to\\s+')
+        THEN regexp_extract({col}, '^(.*?)\\s+to\\s+(.*)$', {side})
+      WHEN regexp_matches({col}, '\\s+-\\s+')
+        THEN regexp_extract({col}, '^(.*?)\\s+-\\s+(.*)$', {side})
+      ELSE {col}
+    END"""
+
+
+def _resume_entities_sql() -> str:
+    from document_parser_private_spark.semantics import (
+        FIELD_ABBREV,
+        FIELD_AFTER_DEGREE_RE,
+        FIELD_MAPPING,
+        FIELDS_OF_STUDY,
+    )
+    edu_arr = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in _EDU_SAMPLES) + "]"
+    exp_arr = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in _EXP_SAMPLES) + "]"
+    kw_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN regexp_matches(edu, '(?i)\\b{f}\\b') THEN '{f}'"
+            for f in FIELDS_OF_STUDY)
+        + " ELSE NULL END"
+    )
+    f14 = "cap"
+    for pat, repl in FIELD_ABBREV:
+        f14 = f"regexp_replace({f14}, '{pat}', '{repl}', 'gi')"
+    f14 = f"regexp_replace({f14}, '([a-z])([A-Z])', '\\1 \\2', 'g')"
+    map_whens = []
+    for canonical, variants in FIELD_MAPPING.items():
+        for v in [canonical] + variants:
+            map_whens.append(f"WHEN '{v.lower()}' THEN '{canonical}'")
+    map_case = "CASE lower(f14x) " + " ".join(map_whens) + " ELSE f14x END"
+    company_re = (
+        r"\b([A-Z][a-zA-Z0-9\s,.-]+"
+        r"(?:Inc|LLC|Co|Company|Group|Corp|Corporation|Ltd|Limited))\b"
+    )
+    position_re = (
+        r"(?i)\b(software engineer|developer|data scientist"
+        r"|project manager|analyst|consultant)\b"
+    )
+    degree_raw_re = r"(?i)\b(bachelor|master|phd|bsc|msc|mba|ba|bs|ms|ma)\b\.?"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    ({edu_arr})[(doc_id % 3) + 1] AS edu,
+    ({exp_arr})[(doc_id % 3) + 1] AS exp
+  FROM documents
+), low AS (
+  SELECT *, lower(edu) AS ledu, lower(exp) AS lexp FROM d
+), sides AS (
+  SELECT *,
+    {_sql_period_side('ledu', 1)} AS edu_l,
+    {_sql_period_side('lexp', 1)} AS exp_l,
+    {_sql_period_side('lexp', 2)} AS exp_r
+  FROM low
+), dated AS (
+  SELECT *,
+    {_sql_date('edu_l')} AS edu_s,
+    {_sql_date('exp_l')} AS exp_s,
+    {_sql_date('exp_r')} AS exp_e_raw
+  FROM sides
+), dur AS (
+  SELECT *, coalesce(exp_e_raw, DATE '2025-07-11') AS exp_e,
+    CASE WHEN exp_s IS NULL THEN NULL
+         ELSE (year(coalesce(exp_e_raw, DATE '2025-07-11')) - year(exp_s)) * 12
+              + (month(coalesce(exp_e_raw, DATE '2025-07-11')) - month(exp_s))
+    END AS base_months
+  FROM dated
+), fld AS (
+  SELECT *,
+    {kw_case} AS kw,
+    regexp_extract(edu, '{FIELD_AFTER_DEGREE_RE}', 1) AS cap,
+    regexp_extract(edu, '{degree_raw_re}', 0) AS raw_deg
+  FROM dur
+), f14c AS (
+  SELECT *, {f14} AS f14x,
+    {_sql_expand_degree('raw_deg')} AS deg_exp
+  FROM fld
+)
+SELECT doc_id,
+  'Unknown' AS institution,  -- normalize_institution over an empty mapping index
+  CASE WHEN coalesce(raw_deg, '') = '' THEN ''
+       WHEN deg_exp = '' THEN raw_deg
+       ELSE deg_exp END AS degree,
+  CASE WHEN kw IS NOT NULL THEN kw
+       WHEN cap != '' THEN {map_case}
+       ELSE NULL END AS field_of_study,
+  CASE WHEN regexp_matches(edu, '(?i)out\\s+of|on|scale') THEN NULL
+       ELSE TRY_CAST(nullif(
+         regexp_extract(edu, '\\b(\\d\\.\\d{{1,2}})\\b', 1), '') AS DOUBLE)
+  END AS gpa,
+  edu_s AS edu_start,
+  regexp_extract(exp, '{company_re}', 1) AS company,
+  regexp_extract(exp, '{position_re}', 0) AS position,
+  CASE WHEN exp_s IS NULL THEN NULL
+       ELSE strftime(exp_s, '%Y-%m-%d') END AS exp_start,
+  CASE WHEN exp_s IS NULL THEN 0
+       WHEN exp_s > exp_e THEN 0
+       WHEN day(exp_e) < day(exp_s) THEN
+         CASE WHEN base_months - 1 >= 0 THEN base_months ELSE 0 END
+       WHEN day(exp_e) > day(exp_s) THEN base_months + 1
+       ELSE base_months END::INT AS duration_months
+FROM f14c
+"""
+
+
+# fuzzy resolutions precomputed (pinned literals) from the deterministic
+# WRatio scorer at threshold 80; 'tensorflw' is below threshold on every
+# index entry and passes through.
+_FUZZY_EXPECTED = {
+    "pythn": "Python", "javascrpt": "JavaScript", "dockr": "Docker",
+    "kuberntes": "Kubernetes", "reactt": "React",
+    "sparkk": "Spark", "machne learning": "Machine Learning",
+    "javva": "Java", "postgress": "SQL",
+}
+
+
+def _skill_fuzzy_sql() -> str:
+    from document_parser_private_spark.corpus import SKILLS_ONTOLOGY
+    from document_parser_private_spark.semantics import STOP_WORDS
+    onto_values = ", ".join(
+        f"('{v.lower()}', '{c}')"
+        for c, vs in SKILLS_ONTOLOGY.items()
+        for v in [c] + vs
+    )
+    fuzzy_values = ", ".join(
+        f"('{k}', '{v}')" for k, v in _FUZZY_EXPECTED.items()
+    )
+    samples = "[" + ", ".join(
+        "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+        for s in _FUZZY_SKILL_SAMPLES
+    ) + "]"
+    stop = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    return f"""
+WITH onto(variant_lower, canonical) AS (VALUES {onto_values}),
+fz(miss_lower, canonical) AS (VALUES {fuzzy_values}),
+d AS (SELECT doc_id, ({samples})[(doc_id % {len(_FUZZY_SKILL_SAMPLES)}) + 1]
+             AS skills_text FROM documents),
+phrases AS (
+  SELECT doc_id,
+    regexp_replace(unnest(regexp_split_to_array(skills_text,
+      '[\\n,;•/]+')), '^{_PWS}+|{_PWS}+$', '', 'g') AS phrase
+  FROM d
+), kept AS (
+  SELECT doc_id, phrase FROM phrases
+  WHERE length(phrase) > 1 AND NOT regexp_matches(phrase, '^\\d+$')
+), resolved AS (
+  SELECT k.doc_id,
+    coalesce(o.canonical, f.canonical, k.phrase) AS skill
+  FROM kept k
+  LEFT JOIN onto o ON lower(k.phrase) = o.variant_lower
+  LEFT JOIN fz f ON lower(k.phrase) = f.miss_lower
+)
+SELECT doc_id,
+  array_to_string(list_sort(list_distinct(list(skill))), ',') AS skills_csv
+FROM resolved
+WHERE length(skill) > 1 AND lower(skill) NOT IN ({stop})
+GROUP BY doc_id
+"""
+
+
+_PII_ANON_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(substr(text, 1, 40), '[0-9@]', '', 'g') AS tail
+  FROM documents
+)
+SELECT doc_id,
+  'contact [EMAIL_'
+  || substr(sha256('user' || doc_id::VARCHAR
+                   || '@mail.example' || 'secure_salt_value'), 1, 8)
+  || '] or [PHONE_'
+  || substr(sha256('555-123-4567' || 'secure_salt_value'), 1, 8)
+  || '] ssn [SSN_'
+  || substr(sha256('123-45-6789' || 'secure_salt_value'), 1, 8)
+  || '] :: ' || tail AS anonymized
+FROM d
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "skill_normalize_join": _skill_join_sql(),
+        "resume_entities": _resume_entities_sql(),
+        "skill_fuzzy_join": _skill_fuzzy_sql(),
+        "pii_anonymize": _PII_ANON_SQL,
         "pii_mask_text": r"""
             WITH d AS (
               SELECT doc_id,

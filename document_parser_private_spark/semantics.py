@@ -1002,10 +1002,14 @@ FIELD_MAPPING: dict[str, list[str]] = {
     "Management Information Systems": ["Info Systems"],
 }
 
-# raw-field capture for keyword misses: "BS in CS", "Master of Comp Sci"
+# raw-field capture for keyword misses: "BS in CS", "Master of Comp Sci".
+# The capture is a run of Title-Case words (RE2-compatible, no lookahead)
+# so trailing lower-case prose ("... from State" -> stops at 'from')
+# never rides along.
 FIELD_AFTER_DEGREE_RE = (
-    r"(?i)\b(?:bachelor|master|phd|bsc|msc|mba|ba|bs|ms|ma)\b\.?\s*"
-    r"(?:of\s+(?:science|arts)\s+)?(?:of|in)\s+([A-Za-z][A-Za-z &]*)"
+    r"\b(?i:bachelor|master|phd|bsc|msc|mba|ba|bs|ms|ma)\b\.?\s*"
+    r"(?i:of\s+(?:science|arts)\s+)?(?i:of|in)\s+"
+    r"([A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*)*)"
 )
 
 
