@@ -167,8 +167,12 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs-within-bucket Jaccard via the token equi-join
+    (bucket_col passed EXPLICITLY: the library default is the LSH-bounded
+    path; this query pins the bucketed formulation + its oracle)."""
     from document_parser_private_spark.operators.dedup import jaccard_pairs
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return jaccard_pairs(_docs(spark, sf_dir), bucket_col="source",
+                         threshold=0.5)
 
 
 def _q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

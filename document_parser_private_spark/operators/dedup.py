@@ -192,21 +192,35 @@ def jaccard_token_col(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
 
 
-def jaccard_pairs(df: DataFrame, bucket_col: str = "source",
+def jaccard_pairs(df: DataFrame, bucket_col: str | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.5) -> DataFrame:
-    """n-gram(1) Jaccard between all doc pairs within a bucket
-    (at scale bucket = LSH band from minhash_candidates).
+    """n-gram(1) Jaccard between near-duplicate doc pairs.
 
-    Formulated as explode -> equi-join on (bucket, token) -> count, not a
-    pairwise array_intersect: per-pair array ops cost O(pairs * tokens)
-    while the token join costs O(sum over tokens of docs_with_token^2
-    rows of tiny fixed width) with codegen + partial aggregation — ~30x
-    less work on natural text, and AQE splits skewed common-token groups.
-    jaccard = |inter| / (|a| + |b| - |inter|); pairs with zero common
-    tokens have jaccard 0 and are below any positive threshold, so the
-    inner join is exact for threshold > 0 (enforced).
+    Default (bucket_col=None) is the SCALE-SAFE path: LSH-candidate
+    restriction via jaccard_on_candidates — work stays ~linear in corpus
+    size no matter how large a natural grouping gets. Passing an explicit
+    bucket_col opts into exact all-pairs-within-bucket semantics, which
+    is quadratic in bucket size: per-bucket doc counts must stay bounded
+    as the corpus grows (e.g. a date+shard bucket), or the bucketed join
+    becomes the 100x-scale bottleneck — this is why it is no longer the
+    default.
+
+    The bucketed form is an explode -> equi-join on (bucket, token) ->
+    count, not a pairwise array_intersect: per-pair array ops cost
+    O(pairs * tokens) while the token join costs O(sum over tokens of
+    docs_with_token^2 rows of tiny fixed width) with codegen + partial
+    aggregation — ~30x less work on natural text, and AQE splits skewed
+    common-token groups. jaccard = |inter| / (|a| + |b| - |inter|);
+    pairs with zero common tokens have jaccard 0 and are below any
+    positive threshold, so the inner join is exact for threshold > 0
+    (enforced).
     """
+    if bucket_col is None:
+        out = jaccard_on_candidates(
+            df, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        return out
     assert threshold > 0, "token-join formulation requires threshold > 0"
     toks = df.select(
         F.col(id_col),
@@ -292,7 +306,16 @@ def jaccard_on_candidates(df: DataFrame, id_col: str = "doc_id",
     only. The all-pairs work never happens; per-pair array ops are fine
     here because LSH keeps the candidate set ~linear in corpus size."""
     pairs = minhash_candidates(df, id_col=id_col, text_col=text_col)
-    toks = df.select(
+    # Tokenize ONLY docs that appear in some candidate pair (semi-join
+    # prune): LSH keeps candidates ~linear but typically touching a small
+    # fraction of the corpus, so the array_distinct/tokenize work — the
+    # expensive part of this job — skips every non-candidate doc.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    toks = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(
             F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))

@@ -42,6 +42,27 @@ METRICS_SCHEMA = (
 )
 
 
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Crash-consistent metrics view: metrics are appended (step 2)
+    BEFORE the lineage commit point (step 3), so a kill between the two
+    re-processes the group and appends metrics again. Naive sums over the
+    raw metrics table double-count those orphans; joining to lineage
+    'done' rows on (part, run_id) drops them — a metrics row is valid
+    only if its exact (part, run_id) reached the commit point."""
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    lineage = (
+        spark.read.parquet(f"{out_dir}/lineage")
+        .where(F.col("status") == "done")
+        .select("part", "run_id")
+        .distinct()
+    )
+    # dropDuplicates guards the resume-with-same-run_id case: the orphan
+    # and its re-run are byte-identical (deterministic pipeline), so one
+    # survives.
+    return metrics.join(lineage, ["part", "run_id"], "left_semi") \
+        .dropDuplicates()
+
+
 def _lineage_done(spark: SparkSession, out_dir: str) -> set[int]:
     try:
         rows = (
@@ -62,18 +83,29 @@ def run_with_checkpoint(
     parts_per_commit: int = 4,
     run_id: str | None = None,
     fail_after_commits: int | None = None,
+    fail_before_lineage: int | None = None,
 ) -> dict:
     """Run the extraction pipeline over `df` (must carry an int `part`
     column), committing per group of partitions; resumes past partitions
     already recorded 'done' in the lineage ledger.
 
     fail_after_commits: test hook — raise after N commits to simulate a
-    mid-run kill.
+    mid-run kill. fail_before_lineage: test hook — raise during the Nth
+    commit after the metrics append but before the lineage commit point
+    (the orphan-metrics window read_metrics must survive).
 
     Returns {"processed_parts": [...], "skipped_parts": [...]}.
     """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
+
+    # Resume correctness REQUIRES dynamic partition overwrite: with
+    # Spark's default (static), step 1's overwrite would delete every
+    # previously committed partition while lineage still marks them done
+    # — a resume would then silently produce incomplete output. Enforce
+    # rather than assume (session.get_spark sets it, but this operator
+    # must be safe under any session).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     all_parts = sorted(
         r["part"] for r in df.select("part").distinct().collect()
@@ -117,6 +149,11 @@ def run_with_checkpoint(
             .withColumn("run_id", F.lit(run_id))
         )
         metrics.write.mode("append").parquet(f"{out_dir}/metrics")
+        if fail_before_lineage is not None and commits + 1 >= fail_before_lineage:
+            raise RuntimeError(
+                "simulated failure between metrics append and lineage "
+                "commit (test hook)"
+            )
         # 3. lineage append LAST (commit point)
         finished = time.time()
         lineage = spark.createDataFrame(

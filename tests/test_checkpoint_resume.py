@@ -68,3 +68,45 @@ def test_metrics_side_table(spark, corpus_df, tmp_path):
     total_docs = sum(r["doc_count"] for r in metrics)
     assert total_docs == corpus_df.count()
     assert all(r["blocks_dropped"] >= 0 for r in metrics)
+
+
+def test_metrics_survive_orphan_window(spark, corpus_df, tmp_path):
+    """Kill between the metrics append and the lineage commit: the raw
+    metrics table double-counts the re-processed group, read_metrics
+    does not (lineage semi-join on (part, run_id) drops orphans)."""
+    from document_parser_private_spark.plans.checkpoint import read_metrics
+
+    out = str(tmp_path / "orphan")
+    with pytest.raises(RuntimeError, match="between metrics append"):
+        run_with_checkpoint(
+            corpus_df, out, parts_per_commit=3, fail_before_lineage=1
+        )
+    # resume (fresh run_id) completes all 8 partitions
+    run_with_checkpoint(corpus_df, out, parts_per_commit=3)
+
+    raw = spark.read.parquet(f"{out}/metrics").collect()
+    clean = read_metrics(spark, out).collect()
+    n_docs = corpus_df.count()
+    # the orphaned group's rows inflate the raw sum ...
+    assert sum(r["doc_count"] for r in raw) > n_docs
+    # ... while the lineage-joined view is exact, one row per partition
+    assert sum(r["doc_count"] for r in clean) == n_docs
+    assert sorted(r["part"] for r in clean) == list(range(8))
+
+
+def test_checkpoint_forces_dynamic_overwrite(spark, corpus_df, tmp_path):
+    """run_with_checkpoint must not rely on the session having
+    partitionOverwriteMode=dynamic — under 'static' a resume would wipe
+    committed partitions."""
+    out = str(tmp_path / "static")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        with pytest.raises(RuntimeError, match="simulated failure"):
+            run_with_checkpoint(
+                corpus_df, out, parts_per_commit=3, fail_after_commits=1
+            )
+        run_with_checkpoint(corpus_df, out, parts_per_commit=3)
+        assert len(_collect_extracted(spark, out)) == corpus_df.count()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
