@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.bind import bind_once
 from ..semantics import (
     CONTACT_LINE_PAT,
     LINK_TOKEN_PAT,
@@ -46,23 +47,36 @@ def _is_boilerplate(s: Column) -> Column:
     str.strip()/str.split() (the authoritative semantics) — Java \\s is
     ASCII-only and misses \\x1c-\\x1f, \\x85, \\xa0, U+2000.. which
     Python treats as whitespace, so both use the explicit PY_WS_JRE
-    class (caught by the classify parity property test on '\\x1f')."""
-    text = F.regexp_replace(
+    class (caught by the classify parity property test on '\\x1f').
+
+    The trimmed text (~5 references) and the token array (2 references)
+    are bound ONCE per span via bind_once — this predicate runs inside a
+    higher-order filter lambda, where every unbound reference re-runs
+    its regex per element."""
+    trimmed = F.regexp_replace(
         F.coalesce(s["text"], F.lit("")), f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", ""
     )
-    tokens = F.split(text, f"{PY_WS_JRE}+")
-    n_tokens = F.size(tokens)
-    n_links = F.size(F.filter(tokens, lambda t: t.rlike(LINK_TOKEN_JRE)))
-    link_farm = (n_tokens >= LINK_DENSITY_MIN_TOKENS) & (
-        n_links > n_tokens * LINK_DENSITY_THRESHOLD
-    )
-    return F.when(F.length(text) == 0, F.lit(True)).otherwise(
-        F.when(text.rlike(CONTACT_LINE_JRE), F.lit(False)).otherwise(
-            text.rlike(PAGE_FURNITURE_JRE)
-            | text.rlike(NAV_MENU_JRE)
-            | link_farm
-        )
-    )
+
+    def pred(text: Column) -> Column:
+        def with_tokens(tokens: Column) -> Column:
+            n_tokens = F.size(tokens)
+            n_links = F.size(
+                F.filter(tokens, lambda t: t.rlike(LINK_TOKEN_JRE))
+            )
+            link_farm = (n_tokens >= LINK_DENSITY_MIN_TOKENS) & (
+                n_links > n_tokens * LINK_DENSITY_THRESHOLD
+            )
+            return F.when(F.length(text) == 0, F.lit(True)).otherwise(
+                F.when(text.rlike(CONTACT_LINE_JRE), F.lit(False)).otherwise(
+                    text.rlike(PAGE_FURNITURE_JRE)
+                    | text.rlike(NAV_MENU_JRE)
+                    | link_farm
+                )
+            )
+
+        return bind_once(F.split(text, f"{PY_WS_JRE}+"), with_tokens)
+
+    return bind_once(trimmed, pred)
 
 
 def _is_media(s: Column) -> Column:

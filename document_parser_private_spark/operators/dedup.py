@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.bind import bind_once
 from .textstats import WORD_RE, fingerprint_col
 
 N_MINHASHES = 16
@@ -39,29 +40,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles_col(text: Column, k: int = 3) -> Column:
-    """k-word shingles; whole text when shorter than k words."""
-    words = F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0))
-    n = F.size(words)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-    )
-    return F.when(n >= k, shingles).otherwise(F.array(F.concat_ws(" ", words)))
+    """k-word shingles; whole text when shorter than k words.
+
+    The tokenizer is bound ONCE per row (functions.bind.bind_once): the
+    sliding-window transform references `words` per shingle, and an
+    unbound reference would re-run the regex per element — measured 5-9x
+    on the minhash path at sf0.1."""
+    toks = F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0))
+
+    def mk(words: Column) -> Column:
+        n = F.size(words)
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+        return F.when(n >= k, shingles).otherwise(
+            F.array(F.concat_ws(" ", words))
+        )
+
+    return bind_once(toks, mk)
 
 
 def minhash_signature_col(shingles: Column,
                           n_hashes: int = N_MINHASHES) -> Column:
     """array of n minhashes: sig[i] = min over shingles of
-    md5(i || '|' || shingle) — per-row, shuffle-free."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
+    md5(i || '|' || shingle) — per-row, shuffle-free. The shingles
+    argument is bound once (it is referenced per hash index i).
+    minhash_signatures_agg remains the fast path (codegen partial
+    aggregation, one md5 per shingle)."""
+    def sig(sh: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+                )
+            ),
+        )
+
+    return bind_once(shingles, sig)
 
 
 def band_keys_col(sig: Column, n_bands: int = N_BANDS,

@@ -63,7 +63,14 @@ PY_WS_CODEPOINTS = (
 )
 PY_WS_CHARS = "".join(chr(c) for c in PY_WS_CODEPOINTS)
 # Character class usable verbatim in Java regex (Spark) and RE2 (DuckDB).
-PY_WS_JRE_INNER = "".join(f"\\x{{{c:x}}}" for c in PY_WS_CODEPOINTS)
+# Rendered as RANGES, not 29 singleton escapes: the long form measurably
+# collapses whole-stage-codegen performance when the pattern literal is
+# duplicated through a higher-order-function tree (minhash shingles went
+# 3.4s -> 28s at sf0.1 with the 240-char form; ranges restore it).
+PY_WS_JRE_INNER = (
+    "\\x{9}-\\x{d}\\x{1c}-\\x{1f}\\x{20}\\x{85}\\x{a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}"
+)
 PY_WS_JRE = "[" + PY_WS_JRE_INNER + "]"
 
 # ---------------------------------------------------------------------------
