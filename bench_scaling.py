@@ -120,7 +120,11 @@ def scaling_corpus() -> str:
     shards with the giant-doc tail spread uniformly = the balanced
     salt-bucketed storage layout the pipeline assumes at 100 TB."""
     from bench import BENCH_DIR
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+    # 200k docs: fixed per-run costs (scheduling, planning, noop commit
+    # ~1.5 s) were ~6% of the 8-core wall at 100k — enough to mask ~3
+    # points of measured efficiency; at 200k they are ~3% of the fastest
+    # timed side.
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
     path = os.path.join(BENCH_DIR, f"corpus_{n_docs}_sharded")
     if not os.path.exists(path):
         from document_parser_private_spark.corpus import write_corpus_parquet

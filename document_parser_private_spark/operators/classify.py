@@ -109,10 +109,20 @@ def clean_spans_col(spans: Column, renumber: bool = True) -> Column:
 
 
 def classify_spans(df: DataFrame, spans_col: str = "spans",
-                   renumber: bool = True) -> DataFrame:
-    out = df.withColumn(
-        "clean_spans", clean_spans_col(F.col(spans_col), renumber=renumber)
-    )
+                   renumber: bool = True, barrier: bool = False) -> DataFrame:
+    """Adds clean_spans + blocks_kept/blocks_dropped.
+
+    barrier=True additionally wraps clean_spans in a single-element
+    shuffle() — identity in fact, nondeterministic to the optimizer — so
+    CollapseProject can NEVER inline this higher-order-function tree
+    into a consumer. Required when a Python UDF will consume clean_spans
+    (Spark cannot extract a UDF whose inlined argument carries lambda
+    functions) and also guarantees the classify tree is evaluated once
+    even when several consumers each reference it once."""
+    clean = clean_spans_col(F.col(spans_col), renumber=renumber)
+    if barrier:
+        clean = F.element_at(F.shuffle(F.array(clean)), 1)
+    out = df.withColumn("clean_spans", clean)
     return (
         out.withColumn("blocks_kept", F.size("clean_spans"))
         .withColumn(

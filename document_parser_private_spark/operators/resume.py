@@ -155,7 +155,14 @@ def _extract_all_udf(spans: pd.Series) -> pd.DataFrame:
 def extract_all_op(df: DataFrame, spans_col: str = "clean_spans") -> DataFrame:
     """Fused layout+sections+entities from natively-filtered spans;
     native contact/summary/certifications over the returned sections
-    struct (prunable fields)."""
+    struct (prunable fields).
+
+    Requires the spans column to be optimizer-barriered
+    (classify_spans(..., barrier=True)) when it is built from
+    higher-order-function expressions: Spark cannot extract a Python UDF
+    whose inlined argument carries lambda functions, and CollapseProject
+    inlines single-reference producers ("Cannot generate code for
+    expression: ..._udf(transform(filter(...)))")."""
     ext = _extract_all_udf(F.col(spans_col))
     df = df.withColumn("_ext", ext)
     sec = F.col("_ext")["sections"]

@@ -91,8 +91,9 @@ def extract_pipeline(
     # classify is per-span and order-free, so it runs FIRST, natively
     # (whole-stage codegen), keeping original geometric offsets; layout
     # inference happens inside the single Python pass that needs Python
-    # anyway (fused UDF below / layout_order_op on the sections-only path)
-    out = classify_spans(out, renumber=False)
+    # anyway (fused UDF below / layout_order_op on the sections-only path).
+    # barrier=True: clean_spans feeds a Python UDF — see classify_spans.
+    out = classify_spans(out, renumber=False, barrier=True)
     if with_resume:
         # fused layout+FSM+entities: one Arrow crossing, one worker/task
         out = extract_all_op(out)
@@ -117,3 +118,57 @@ def extraction_metrics(result: DataFrame, part_col: str | None = None) -> DataFr
         ),
     )
     return agg
+
+
+# Export schema = the reference Resume model (schemas/resume_schema.py:
+# 5-33; shape of sample_expected_output_for_AM CV.json). gpa (education)
+# and duration_months (experience) are internal pipeline columns the
+# reference export does not carry — from_json drops unknown fields, so
+# the to_json -> from_json -> to_json chain below strips them natively.
+RESUME_EXPORT_SCHEMA = (
+    "struct<"
+    "contact: struct<name: string, email: string, phone: string,"
+    "                linkedin: string, github: string>,"
+    "summary: string,"
+    "skills: array<string>,"
+    "education: array<struct<institution: string, degree: string,"
+    "  field_of_study: string, start_date: string, end_date: string,"
+    "  description: string, achievements: array<string>>>,"
+    "experience: array<struct<company: string, position: string,"
+    "  start_date: string, end_date: string, description: string,"
+    "  technologies: array<string>>>,"
+    "projects: array<struct<name: string, description: string,"
+    "  technologies: array<string>>>,"
+    "certifications: array<string>"
+    ">"
+)
+
+
+def resume_json_col() -> "F.Column":
+    """One JSON document per row in the reference's export shape
+    (main.py:184-186 json.dump of Resume.model_dump()).
+
+    Implementation note: the field-subset projection is a lambda-free
+    to_json -> from_json(export schema) -> to_json round trip, NOT an
+    array transform() — Spark cannot evaluate a Python UDF that the
+    optimizer has inlined under a higher-order-function lambda, and the
+    pipeline's entity arrays come out of the fused pandas UDF.
+    ignoreNullFields=false so nulls serialize explicitly like Python's
+    json.dumps(None) -> null; dates render ISO yyyy-MM-dd.
+    """
+    full = F.to_json(
+        F.struct(
+            F.col("contact"), F.col("summary"), F.col("skills"),
+            F.col("education"), F.col("experience"), F.col("projects"),
+            F.col("certifications"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    shaped = F.from_json(full, RESUME_EXPORT_SCHEMA)
+    return F.to_json(shaped, {"ignoreNullFields": "false"})
+
+
+def export_resume_json(result: DataFrame) -> DataFrame:
+    """(doc_id, resume_json) export view of the pipeline output — the S6
+    JSON-sink parity surface; write with .write.text/.json or any sink."""
+    return result.select("doc_id", resume_json_col().alias("resume_json"))
