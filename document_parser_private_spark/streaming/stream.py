@@ -184,3 +184,61 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate suppression (training-data pipeline op)
+# ---------------------------------------------------------------------------
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    horizon: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup over the document fingerprint with BOUNDED
+    state: dropDuplicatesWithinWatermark keeps a fingerprint in the state
+    store only for the watermark horizon, so state is O(docs per horizon)
+    instead of O(all docs ever) — the only formulation that survives an
+    unbounded 100 TB ingest stream. Duplicates arriving farther apart
+    than the horizon are handled by the periodic BATCH exact_dedup
+    compaction over the accumulated table (the standard lambda split).
+
+    Spans-level text is fingerprinted exactly like the batch op
+    (textstats.fingerprint_col over the concatenated span text)."""
+    from ..operators.textstats import fingerprint_col
+
+    reader = spark.readStream.schema(DOCS_DDL).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+    text = F.concat_ws(
+        "\n", F.transform("spans", lambda s: F.coalesce(s["text"], F.lit("")))
+    )
+    return (
+        docs.withColumn("fingerprint", fingerprint_col(text))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .drop("ingest_ts")
+    )
+
+
+def run_stream_dedup_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "10 minutes",
+) -> None:
+    """Drain input once (availableNow) through the streaming dedup."""
+    out = stream_dedup(spark, input_dir, horizon=horizon)
+    q = (
+        out.select("doc_id", "fingerprint", "byte_size")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
