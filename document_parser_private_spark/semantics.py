@@ -596,16 +596,21 @@ def wratio(a: str, b: str) -> float:
     return max(_indel_ratio(a_l, b_l), token_part)
 
 
-def _token_lens(s: str) -> tuple[frozenset[str], int, int, int]:
+def _token_lens(s: str):
     """(token set, len of sorted-unique-token join, len of sorted-all-token
-    join, len of the lowercased string) — the exact string lengths
-    token_set_ratio / token_sort_ratio / the base ratio operate on."""
+    join, len of the lowercased string, char histogram of the lowercased
+    string) — the exact string lengths token_set_ratio /
+    token_sort_ratio / the base ratio operate on, plus the multiset used
+    by the character-overlap LCS bound."""
     low = s.lower()
     toks = low.split()
     tset = frozenset(toks)
     uniq_len = len(" ".join(sorted(tset)))
     sort_len = len(" ".join(sorted(toks)))
-    return tset, uniq_len, sort_len, len(low)
+    hist: dict[str, int] = {}
+    for ch in low:
+        hist[ch] = hist.get(ch, 0) + 1
+    return tset, uniq_len, sort_len, len(low), hist
 
 
 def _join_len(tokens) -> int:
@@ -649,7 +654,10 @@ def best_fuzzy_match(
 
     Pruned with EXACT upper bounds so results are identical to the naive
     scan (property-tested): wratio = max(base, token_part) where
-      base       <= len_bound(la, lb) over the LOWERCASED lengths
+      base       <= min(len_bound(la, lb), 200*common_chars/(la+lb)) over
+                   the LOWERCASED strings — LCS can't exceed the char-
+                   multiset overlap, which kills the similar-length junk
+                   the pure length bound lets through
       token_part: subset token sets -> exactly 0.95*100 = 95 before the
                    length penalty (token_set_ratio returns 100);
                   intersecting non-subset -> 0.95 * max of the three
@@ -665,11 +673,22 @@ def best_fuzzy_match(
     sharing one short token with a divergent-length candidate prune to
     zero scorer calls.
     """
-    q_tokens, q_uniq, q_sort, lq = _token_lens(query)
+    q_tokens, q_uniq, q_sort, lq, q_hist = _token_lens(query)
     idx_lens = _index_token_lens(index)
     bounds = []
-    for pos, (c_tokens, c_uniq, c_sort, lc) in enumerate(idx_lens):
-        base_bound = _len_bound(lq, lc)
+    for pos, (c_tokens, c_uniq, c_sort, lc, c_hist) in enumerate(idx_lens):
+        if lq == 0 or lc == 0:
+            base_bound = _len_bound(lq, lc)
+        else:
+            # LCS <= per-char multiset overlap (candidate histograms are
+            # tiny; iterate the smaller side)
+            small, big = (c_hist, q_hist) if lc <= lq else (q_hist, c_hist)
+            common = 0
+            for ch, n in small.items():
+                m = big.get(ch)
+                if m:
+                    common += n if n <= m else m
+            base_bound = 200.0 * common / (lq + lc)
         inter = q_tokens & c_tokens
         if not inter:
             token_bound = 0.95 * max(
