@@ -118,7 +118,17 @@ def classify_spans(df: DataFrame, spans_col: str = "spans",
     into a consumer. Required when a Python UDF will consume clean_spans
     (Spark cannot extract a UDF whose inlined argument carries lambda
     functions) and also guarantees the classify tree is evaluated once
-    even when several consumers each reference it once."""
+    even when several consumers each reference it once.
+
+    CAVEATS (documented optimizer contract): this relies on shuffle()
+    being classified nondeterministic, which (a) could change in a future
+    Spark release — the plan-shape assertions in test_plans.py will catch
+    that; fall back to `spark.sql.optimizer.excludedRules =
+    org.apache.spark.sql.catalyst.optimizer.CollapseProject` or an
+    explicit .localCheckpoint() between classify and the consumer — and
+    (b) marks clean_spans nondeterministic, so do NOT use the barriered
+    column directly in a join/sort condition (derive a deterministic copy
+    first)."""
     clean = clean_spans_col(F.col(spans_col), renumber=renumber)
     if barrier:
         clean = F.element_at(F.shuffle(F.array(clean)), 1)

@@ -56,11 +56,13 @@ def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
         .select("part", "run_id")
         .distinct()
     )
-    # dropDuplicates guards the resume-with-same-run_id case: the orphan
-    # and its re-run are byte-identical (deterministic pipeline), so one
-    # survives.
+    # Keyed dedupe guards the resume-with-same-run_id case: the orphan and
+    # its re-run carry the same (part, run_id) — the pipeline is
+    # deterministic, so whichever row survives is correct. Keying on the
+    # explicit commit key (not whole-row equality) keeps the invariant
+    # even if a nondeterministic metric column (e.g. timing) is added.
     return metrics.join(lineage, ["part", "run_id"], "left_semi") \
-        .dropDuplicates()
+        .dropDuplicates(["part", "run_id"])
 
 
 def _lineage_done(spark: SparkSession, out_dir: str) -> set[int]:
@@ -104,71 +106,79 @@ def run_with_checkpoint(
     # previously committed partition while lineage still marks them done
     # — a resume would then silently produce incomplete output. Enforce
     # rather than assume (session.get_spark sets it, but this operator
-    # must be safe under any session).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # must be safe under any session) — and restore the caller's value on
+    # exit so unrelated writes keep their overwrite semantics.
+    _OVERWRITE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(_OVERWRITE_KEY, None)
+    spark.conf.set(_OVERWRITE_KEY, "dynamic")
+    try:
+        all_parts = sorted(
+            r["part"] for r in df.select("part").distinct().collect()
+        )
+        done = _lineage_done(spark, out_dir)
+        pending = [p for p in all_parts if p not in done]
+        skipped = [p for p in all_parts if p in done]
 
-    all_parts = sorted(
-        r["part"] for r in df.select("part").distinct().collect()
-    )
-    done = _lineage_done(spark, out_dir)
-    pending = [p for p in all_parts if p not in done]
-    skipped = [p for p in all_parts if p in done]
-
-    processed: list[int] = []
-    commits = 0
-    for i in range(0, len(pending), parts_per_commit):
-        group = pending[i:i + parts_per_commit]
-        started = time.time()
-        chunk = df.where(F.col("part").isin(group))
-        result = extract_pipeline(chunk).join(
-            chunk.select("doc_id", "part"), "doc_id"
-        )
-        flat = result.select(
-            "doc_id", "part", "blocks_kept", "blocks_dropped",
-            F.to_json("clean_spans").alias("clean_spans_json"),
-            F.to_json("sections").alias("sections_json"),
-            F.to_json("contact").alias("contact_json"),
-            "summary",
-            F.to_json("skills").alias("skills_json"),
-        )
-        # 1. idempotent data commit (dynamic partition overwrite)
-        flat.write.mode("overwrite").partitionBy("part").parquet(
-            f"{out_dir}/extracted"
-        )
-        # 2. metrics append
-        metrics = (
-            result.groupBy("part")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum("blocks_kept").alias("blocks_kept"),
-                F.sum("blocks_dropped").alias("blocks_dropped"),
-                F.sum(
-                    F.when(F.col("blocks_kept").isNull(), 1).otherwise(0)
-                ).alias("parse_failures"),
+        processed: list[int] = []
+        commits = 0
+        for i in range(0, len(pending), parts_per_commit):
+            group = pending[i:i + parts_per_commit]
+            started = time.time()
+            chunk = df.where(F.col("part").isin(group))
+            result = extract_pipeline(chunk).join(
+                chunk.select("doc_id", "part"), "doc_id"
             )
-            .withColumn("run_id", F.lit(run_id))
-        )
-        metrics.write.mode("append").parquet(f"{out_dir}/metrics")
-        if fail_before_lineage is not None and commits + 1 >= fail_before_lineage:
-            raise RuntimeError(
-                "simulated failure between metrics append and lineage "
-                "commit (test hook)"
+            flat = result.select(
+                "doc_id", "part", "blocks_kept", "blocks_dropped",
+                F.to_json("clean_spans").alias("clean_spans_json"),
+                F.to_json("sections").alias("sections_json"),
+                F.to_json("contact").alias("contact_json"),
+                "summary",
+                F.to_json("skills").alias("skills_json"),
             )
-        # 3. lineage append LAST (commit point)
-        finished = time.time()
-        lineage = spark.createDataFrame(
-            [
-                (p, "done", run_id, None, started, finished)
-                for p in group
-            ],
-            schema=LINEAGE_SCHEMA,
-        )
-        lineage.write.mode("append").parquet(f"{out_dir}/lineage")
-        processed.extend(group)
-        commits += 1
-        if fail_after_commits is not None and commits >= fail_after_commits:
-            raise RuntimeError(
-                f"simulated failure after {commits} commits (test hook)"
+            # 1. idempotent data commit (dynamic partition overwrite)
+            flat.write.mode("overwrite").partitionBy("part").parquet(
+                f"{out_dir}/extracted"
             )
+            # 2. metrics append
+            metrics = (
+                result.groupBy("part")
+                .agg(
+                    F.count("*").alias("doc_count"),
+                    F.sum("blocks_kept").alias("blocks_kept"),
+                    F.sum("blocks_dropped").alias("blocks_dropped"),
+                    F.sum(
+                        F.when(F.col("blocks_kept").isNull(), 1).otherwise(0)
+                    ).alias("parse_failures"),
+                )
+                .withColumn("run_id", F.lit(run_id))
+            )
+            metrics.write.mode("append").parquet(f"{out_dir}/metrics")
+            if fail_before_lineage is not None and commits + 1 >= fail_before_lineage:
+                raise RuntimeError(
+                    "simulated failure between metrics append and lineage "
+                    "commit (test hook)"
+                )
+            # 3. lineage append LAST (commit point)
+            finished = time.time()
+            lineage = spark.createDataFrame(
+                [
+                    (p, "done", run_id, None, started, finished)
+                    for p in group
+                ],
+                schema=LINEAGE_SCHEMA,
+            )
+            lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+            processed.extend(group)
+            commits += 1
+            if fail_after_commits is not None and commits >= fail_after_commits:
+                raise RuntimeError(
+                    f"simulated failure after {commits} commits (test hook)"
+                )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(_OVERWRITE_KEY)
+        else:
+            spark.conf.set(_OVERWRITE_KEY, prev_mode)
     return {"processed_parts": processed, "skipped_parts": skipped,
             "run_id": run_id}
