@@ -562,21 +562,39 @@ def _q_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_on_candidates(_docs(spark, sf_dir))
 
 
+# Deterministic (pred, truth) text pairs exercising every token_set_ratio
+# branch: equal token sets (100), subset (100), two partial-overlap cases,
+# a typo resolved by the indel/LCS path, and the empty-pred edge (0).
+# _FUZZY_EVAL_SIMS pins the scorer's exact output per pair; the DuckDB
+# twin indexes the same literals by doc_id, and
+# tests/test_metrics.py::test_fuzzy_eval_pinned_sims asserts the pins
+# still equal semantics.token_set_ratio so drift cannot pass silently.
+_FUZZY_EVAL_PAIRS = [
+    ("data engineer with spark", "spark data engineer"),
+    ("python developer", "senior python developer"),
+    ("machine learning models", "deep learning pipelines"),
+    ("built rest apis in java", "designed java microservices"),
+    ("project managment office", "project management office"),
+    ("", "quality assurance lead"),
+]
+_FUZZY_EVAL_SIMS = [
+    100.0, 100.0, 60.869565217391305, 48.0, 97.95918367346938, 0.0,
+]
+
+
 def _q_fuzzy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 fuzzy variant (reference evaluation_metrics.py:43): avg
-    token_set_ratio of each doc's text vs its source's first doc (pandas
-    UDF; Levenshtein-family scorer — rows-only, not SQL-expressible)."""
+    """A5 fuzzy variant (reference evaluation_metrics.py:43): avg/min
+    token_set_ratio of predicted vs ground-truth text per source (pandas
+    UDF over the joined pairs). Pairs are pinned deterministic samples so
+    the Levenshtein-family scorer gets a full value-hash oracle."""
     from document_parser_private_spark.operators.metrics import fuzzy_similarity
-    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    truth = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("source", F.col("text").alias("truth_text"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        _sample_col([p for p, _ in _FUZZY_EVAL_PAIRS]).alias("pred_text"),
+        _sample_col([t for _, t in _FUZZY_EVAL_PAIRS]).alias("truth_text"),
     )
-    paired = d.join(truth, "source")
-    pred = paired.select("doc_id", "source", "text")
-    tru = paired.select("doc_id", F.col("truth_text").alias("text"))
+    pred = d.select("doc_id", "source", F.col("pred_text").alias("text"))
+    tru = d.select("doc_id", F.col("truth_text").alias("text"))
     return fuzzy_similarity(pred, tru, group_col="source")
 
 
@@ -1336,8 +1354,29 @@ FROM d
 """
 
 
+def _fuzzy_eval_sql() -> str:
+    sims = ", ".join(
+        f"({i}, {s!r})" for i, s in enumerate(_FUZZY_EVAL_SIMS)
+    )
+    return f"""
+WITH sims0(idx, sim0) AS (VALUES {sims}),
+sims AS (SELECT idx, sim0::DOUBLE AS sim FROM sims0),
+d AS (
+  SELECT doc_id, source, (doc_id % {len(_FUZZY_EVAL_SIMS)}) AS idx
+  FROM documents
+)
+SELECT source,
+  round(avg(sim), 6) AS avg_similarity,
+  round(min(sim), 6) AS min_similarity,
+  count(*) AS n_pairs
+FROM d JOIN sims USING (idx)
+GROUP BY source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "fuzzy_eval": _fuzzy_eval_sql(),
         "skill_normalize_join": _skill_join_sql(),
         "resume_entities": _resume_entities_sql(),
         "skill_fuzzy_join": _skill_fuzzy_sql(),
