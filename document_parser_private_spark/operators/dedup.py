@@ -18,7 +18,7 @@ production throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.bind import bind_once
@@ -182,10 +182,42 @@ def minhash_bands_agg(df: DataFrame, text_col: str = "text",
 
 
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_bucket: int = 64) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    Shuffle carries only (id, band_idx, band_key)."""
+    Shuffle carries only (id, band_idx, band_key).
+
+    Scale guard: a band bucket with more than `max_bucket` members is in
+    practice a cluster of exact/near-exact duplicates (e.g. a million
+    copies of the same boilerplate page), and all-pairs within it is
+    O(c²) — quadratic blowup from a single hot key. Oversized buckets
+    degrade to STAR linking (every member pairs with the bucket's min
+    id): O(c) pairs that still connect the whole cluster for
+    connected-component dedup, and each star pair still passes exact
+    Jaccard verification downstream. Buckets at or under the cap keep
+    exact all-pairs semantics, so normal corpora are unaffected.
+    max_bucket=None disables the guard (exact all-pairs everywhere).
+    """
     banded = minhash_bands_agg(df, text_col, id_col)
+    if max_bucket is not None:
+        # one window over the SAME keys the self-join hashes on — the
+        # exchange is shared, so the guard adds no extra shuffle
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("bsize", F.count("*").over(w))
+            .withColumn("bmin", F.min(id_col).over(w))
+        )
+        small = banded.where(F.col("bsize") <= max_bucket)
+        star = (
+            banded.where(
+                (F.col("bsize") > max_bucket)
+                & (F.col(id_col) != F.col("bmin"))
+            )
+            .select(
+                F.col("bmin").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        banded = small.select(id_col, "band_idx", "band_key")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -198,9 +230,10 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
-    return pairs
+    if max_bucket is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_token_col(a: Column, b: Column) -> Column:

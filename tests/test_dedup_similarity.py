@@ -112,3 +112,30 @@ def test_ivf_topk_recall_vs_brute_force(spark):
               for r in ivf_topk(emb, n_queries=5, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_minhash_candidates_bucket_guard(spark):
+    """A giant exact-duplicate cluster must NOT go quadratic: oversized
+    band buckets star-link to the bucket's min id (O(c) pairs, cluster
+    stays connected), while normal-size buckets keep all-pairs."""
+    n = 10_000
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page repeated everywhere verbatim")
+        .alias("text"),
+    )
+    distinct_rows = spark.createDataFrame(
+        [(n + 1, "one genuinely different document about spark engines"),
+         (n + 2, "one genuinely different document about spark enginez")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_candidates(dup.unionByName(distinct_rows)).collect()
+    # star linking: <= (cluster-1) pairs for the cluster + the near-dup
+    # pair from the small bucket — nowhere near the ~50M all-pairs count
+    assert len(pairs) <= n + 1
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (n + 1, n + 2) in ids            # small buckets: exact all-pairs
+    # connectivity: every cluster member reachable from the representative
+    cluster_pairs = [(a, b) for a, b in ids if a < n and b <= n]
+    touched = {a for a, _ in cluster_pairs} | {b for _, b in cluster_pairs}
+    assert touched == set(range(n))
