@@ -69,24 +69,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+# Leading name-line samples for contact_extract; the empty entry is the
+# miss case (text then starts lowercase, so NAME_JRE cannot match).
+_CONTACT_NAME_SAMPLES = ["Alice Morgan\n", "Brian O Connell\n",
+                         "Carla Diaz\n", ""]
+
+
 def _q_contact_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2 regex extraction over synthesized contact lines."""
+    """F1-F4 regex extraction over synthesized contact lines: email,
+    phone, first-line name, linkedin (in/pub variants), github — each
+    with deterministic hit AND miss cases keyed on doc_id."""
     from document_parser_private_spark.functions.contact import (
-        email_col, phone_col,
+        email_col, github_col, linkedin_col, name_col, phone_col,
     )
+    did = F.col("doc_id")
+    li = F.when(
+        F.pmod(did, 2) == 0,
+        F.concat(
+            F.lit(" https://www.linkedin.com/"),
+            F.when(F.pmod(did, 4) == 0, F.lit("in")).otherwise(F.lit("pub")),
+            F.lit("/user-"), F.pmod(did, 97).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    gh = F.when(
+        F.pmod(did, 3) == 0,
+        F.concat(F.lit(" github.com/user"), F.pmod(did, 53).cast("string")),
+    ).otherwise(F.lit(""))
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
-            F.lit("reach user"), F.col("doc_id").cast("string"),
+            _sample_col(_CONTACT_NAME_SAMPLES),
+            F.lit("reach user"), did.cast("string"),
             F.lit("@example.com or 555-123-"),
-            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0"),
+            li, gh,
             F.lit(" :: "), F.col("text"),
         ).alias("contact_text"),
     )
     return d.select(
         "doc_id",
+        name_col(F.col("contact_text")).alias("name"),
         email_col(F.col("contact_text")).alias("email"),
         phone_col(F.col("contact_text")).alias("phone"),
+        linkedin_col(F.col("contact_text")).alias("linkedin"),
+        github_col(F.col("contact_text")).alias("github"),
     )
 
 
@@ -1433,19 +1459,36 @@ def oracle_sql() -> dict[str, str]:
               round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,
-        "contact_extract": """
+        "contact_extract": f"""
             WITH d AS (
               SELECT doc_id,
-                'reach user' || doc_id::VARCHAR || '@example.com or 555-123-'
-                || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' :: ' || text
-                AS contact_text
+                (['Alice Morgan' || chr(10), 'Brian O Connell' || chr(10),
+                  'Carla Diaz' || chr(10), ''])[(doc_id % 4) + 1]
+                || 'reach user' || doc_id::VARCHAR || '@example.com or 555-123-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                || CASE WHEN doc_id % 2 = 0 THEN
+                     ' https://www.linkedin.com/'
+                     || CASE WHEN doc_id % 4 = 0 THEN 'in' ELSE 'pub' END
+                     || '/user-' || (doc_id % 97)::VARCHAR
+                   ELSE '' END
+                || CASE WHEN doc_id % 3 = 0 THEN
+                     ' github.com/user' || (doc_id % 53)::VARCHAR
+                   ELSE '' END
+                || ' :: ' || text AS contact_text
               FROM documents
             )
             SELECT doc_id,
+              nullif(regexp_replace(regexp_extract(contact_text,
+                '^([A-Z][a-zA-Z\\s]+)\\n', 1),
+                '^{_PWS}+|{_PWS}+$', '', 'g'), '') AS name,
               nullif(regexp_extract(contact_text,
-                '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b', 0), '') AS email,
+                '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{{2,}}\\b', 0), '') AS email,
               nullif(regexp_extract(contact_text,
-                '(\\b\\d{3}[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b|\\+\\d{1,3}[-.\\s]?\\d{3,}[-.\\s]?\\d{4,})', 0), '') AS phone
+                '(\\b\\d{{3}}[-.\\s]?\\d{{3}}[-.\\s]?\\d{{4}}\\b|\\+\\d{{1,3}}[-.\\s]?\\d{{3,}}[-.\\s]?\\d{{4,}})', 0), '') AS phone,
+              nullif(regexp_extract(contact_text,
+                '(https?://)?(www\\.)?linkedin\\.com/(in|pub)/[a-zA-Z0-9-]+', 0), '') AS linkedin,
+              nullif(regexp_extract(contact_text,
+                '(https?://)?(www\\.)?github\\.com/[a-zA-Z0-9-]+/?', 0), '') AS github
             FROM d
         """,
         "summary_trunc": _SUMMARY_SQL,
