@@ -38,10 +38,76 @@ def test_decode_media_deterministic(spark, corpus_df):
     assert 0.0 <= stats["mean_byte"] <= 255.0
 
 
-def test_real_decode_is_explicit_stub(spark, corpus_df):
-    with pytest.raises(NotImplementedError, match="codecs"):
-        decode_media(_media(spark, corpus_df), fake=False)
+def test_real_decode_unsupported_codec_raises(spark, corpus_df):
+    # synthetic payloads are not BMP/WAV, so fake=False must fail loudly
+    # (inside the UDF -> surfaces as a PythonException at the action)
+    with pytest.raises(Exception, match="codecs"):
+        decode_media(_media(spark, corpus_df), fake=False).collect()
     assert "codecs" in REAL_DECODE_UNAVAILABLE
+
+
+def _gradient_bmp(w, h):
+    import numpy as np
+    from document_parser_private_spark.operators.multimodal import encode_bmp
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256],
+                   axis=-1).astype(np.uint8)
+    return img, encode_bmp(img)
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+    from document_parser_private_spark.operators.multimodal import _decode_bmp
+    img, payload = _gradient_bmp(13, 9)     # odd width exercises padding
+    w, h, back = _decode_bmp(payload)
+    assert (w, h) == (13, 9)
+    assert np.array_equal(back, img)
+
+
+def test_decode_media_real_bmp_and_wav(spark):
+    import numpy as np
+    from document_parser_private_spark.operators.multimodal import (
+        MEDIA_DDL, encode_wav,
+    )
+    img, bmp = _gradient_bmp(20, 10)
+    samples = (np.sin(np.arange(8000) / 20.0) * 12000).astype(np.int16)
+    wav = encode_wav(samples, sample_rate=16000)
+    rows = [
+        ("img://bmp1", "d1", "image", bytearray(bmp), None, None, None, "bmp"),
+        ("aud://wav1", "d1", "audio", bytearray(wav), None, None, None, "wav"),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_DDL)
+    # fake=False: both payloads decode for REAL, no stub fallback needed
+    out = {r["media_ref"]: r
+           for r in decode_media(media, fake=False).collect()}
+    b = out["img://bmp1"]
+    assert b["decoded_codec"] == "bmp"
+    assert (b["width"], b["height"]) == (20, 10)
+    assert b["mean_byte"] == pytest.approx(float(img.mean()), abs=1e-4)
+    assert b["std_byte"] == pytest.approx(float(img.std()), abs=1e-4)
+    a = out["aud://wav1"]
+    assert a["decoded_codec"] == "pcm16"
+    assert a["duration_ms"] == 500          # 8000 frames @ 16 kHz
+    assert a["mean_byte"] == pytest.approx(float(samples.mean()), abs=1e-4)
+    assert a["std_byte"] == pytest.approx(float(samples.std()), abs=1e-4)
+
+
+def test_resize_media_real_bmp(spark):
+    import numpy as np
+    from document_parser_private_spark.operators.multimodal import (
+        MEDIA_DDL, _decode_bmp, resize_media,
+    )
+    img, bmp = _gradient_bmp(100, 40)
+    rows = [("img://big", "d1", "image", bytearray(bmp), 100, 40, None, "bmp")]
+    media = spark.createDataFrame(rows, schema=MEDIA_DDL)
+    r = resize_media(media, max_side=50, fake=False).first()
+    assert (r["width"], r["height"]) == (50, 20)
+    w, h, small = _decode_bmp(bytes(r["payload"]))
+    assert (w, h) == (50, 20)
+    # nearest-neighbor: every output pixel exists in the source image
+    ys = (np.arange(20) * 2).astype(int)
+    xs = (np.arange(50) * 2).astype(int)
+    assert np.array_equal(small, img[ys][:, xs])
 
 
 def test_media_features_shape(spark, corpus_df):
