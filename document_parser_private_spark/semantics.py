@@ -569,39 +569,96 @@ def token_set_ratio(a: str, b: str) -> float:
     )
 
 
+def _partial_ratio(a: str, b: str) -> float:
+    """Best indel ratio of the shorter string against any same-length
+    window of the longer (the public partial_ratio shape: optimal
+    alignment of the short string inside the long one). Bit-parallel:
+    the pattern mask over the short string is built ONCE; each window is
+    an O(m) Allison–Dix sweep, so the whole scan is O((n-m+1)*m) word
+    ops — cheap for the skill-vs-bullet shapes the fuzzy path sees."""
+    if len(a) > len(b):
+        a, b = b, a
+    m, n = len(a), len(b)
+    if m == 0:
+        return 100.0 if n == 0 else 0.0
+    pm: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        pm[ch] = pm.get(ch, 0) | bit
+        bit <<= 1
+    mask = bit - 1
+    get = pm.get
+    best = 0
+    for i in range(n - m + 1):
+        s = mask
+        for ch in b[i:i + m]:
+            u = s & get(ch, 0)
+            s = ((s + u) | (s - u)) & mask
+        lcs = m - s.bit_count()
+        if lcs > best:
+            best = lcs
+            if best == m:
+                break
+    return 100.0 * best / m
+
+
 def wratio(a: str, b: str) -> float:
-    """Weighted max of ratio / token ratios (approximation of the public
-    WRatio definition: plain ratio, plus token_sort/token_set scaled by
-    0.95, with an extra penalty when lengths diverge a lot).
+    """Weighted max of ratio / token / partial ratios — the public WRatio
+    shape: at len_ratio < 1.5, max(ratio, 0.95 * token ratios); at
+    len_ratio >= 1.5 the PARTIAL branch takes over with scale 0.9 (or 0.6
+    once len_ratio >= 8): max(ratio, scale * partial_ratio,
+    0.95 * scale * partial_token ratio). partial_token_set is exactly 100
+    whenever the token sets intersect (the sorted intersection string IS
+    a window of both combined strings), so only the disjoint case runs a
+    sliding-window scan over the sorted token joins.
 
     The plain-ratio LCS over the FULL strings is skipped when it provably
-    cannot exceed the token part (base <= len_bound): for the dominant
+    cannot exceed the other parts (base <= len_bound): for the dominant
     corpus case — long bullet line vs short skill name, token subset hit
-    — the only DP run is the cheap token-set one. Exactness preserved:
-    max(base, t) == t whenever base <= t."""
+    — no full-string DP runs. Exactness preserved: max(base, t) == t
+    whenever base <= t."""
     a_l, b_l = a.lower(), b.lower()
     la, lb = len(a_l), len(b_l)
     if la == 0 or lb == 0:
         return _indel_ratio(a_l, b_l)
     len_ratio = max(la, lb) / min(la, lb)
-    tset = token_set_ratio(a, b)
-    if tset >= 100.0:
-        token_part = 95.0  # token_sort <= 100 can't raise the max
+    if len_ratio < 1.5:
+        tset = token_set_ratio(a, b)
+        if tset >= 100.0:
+            token_part = 95.0  # token_sort <= 100 can't raise the max
+        else:
+            token_part = max(token_sort_ratio(a, b), tset) * 0.95
+        if _len_bound(la, lb) <= token_part:
+            return token_part
+        return max(_indel_ratio(a_l, b_l), token_part)
+    # partial branch
+    pscale = 0.9 if len_ratio < 8 else 0.6
+    ta, tb = a_l.split(), b_l.split()
+    if set(ta) & set(tb):
+        ptoken = 100.0
     else:
-        token_part = max(token_sort_ratio(a, b), tset) * 0.95
-    if len_ratio >= 8:
-        token_part *= 0.6 / 0.95
-    if _len_bound(la, lb) <= token_part:
-        return token_part
-    return max(_indel_ratio(a_l, b_l), token_part)
+        ptoken = _partial_ratio(
+            " ".join(sorted(ta)), " ".join(sorted(tb))
+        )
+    best = 0.95 * pscale * ptoken
+    # partial_ratio of the full strings can't beat `best` unless
+    # 100*pscale * min(1, ...) > best; at ptoken == 100 that needs
+    # partial_ratio > 95 — check cheaply via the window length bound
+    # before scanning
+    if 100.0 * pscale > best:
+        best = max(best, pscale * _partial_ratio(a_l, b_l))
+    if _len_bound(la, lb) <= best:
+        return best
+    return max(_indel_ratio(a_l, b_l), best)
 
 
 def _token_lens(s: str):
     """(token set, len of sorted-unique-token join, len of sorted-all-token
     join, len of the lowercased string, char histogram of the lowercased
-    string) — the exact string lengths token_set_ratio /
+    string, token count) — the exact string lengths token_set_ratio /
     token_sort_ratio / the base ratio operate on, plus the multiset used
-    by the character-overlap LCS bound."""
+    by the character-overlap LCS bound and the token count used by the
+    partial-branch sorted-join bound."""
     low = s.lower()
     toks = low.split()
     tset = frozenset(toks)
@@ -610,7 +667,7 @@ def _token_lens(s: str):
     hist: dict[str, int] = {}
     for ch in low:
         hist[ch] = hist.get(ch, 0) + 1
-    return tset, uniq_len, sort_len, len(low), hist
+    return tset, uniq_len, sort_len, len(low), hist, len(toks)
 
 
 def _join_len(tokens) -> int:
@@ -619,11 +676,11 @@ def _join_len(tokens) -> int:
     return sum(len(t) for t in tokens) + (n - 1) if n else 0
 
 
-_INDEX_TOKENS_CACHE: dict[tuple[str, ...], list[tuple[frozenset[str], int, int]]] = {}
+_INDEX_TOKENS_CACHE: dict[tuple[str, ...], list[tuple]] = {}
 _INDEX_TOKENS_CACHE_MAX = 8
 
 
-def _index_token_lens(index: list[str]) -> list[tuple[frozenset[str], int, int]]:
+def _index_token_lens(index: list[str]) -> list[tuple]:
     # CONTENT-keyed (tuple equality), never id(): a freed list's address
     # can be reused by a different same-length list, which would serve
     # stale token data (observed as flaky fuzzy-match results). The hot
@@ -653,62 +710,92 @@ def best_fuzzy_match(
     index order (matches the public extractOne tie behavior).
 
     Pruned with EXACT upper bounds so results are identical to the naive
-    scan (property-tested): wratio = max(base, token_part) where
+    scan (property-tested). Both wratio branches are bounded:
       base       <= min(len_bound(la, lb), 200*common_chars/(la+lb)) over
                    the LOWERCASED strings — LCS can't exceed the char-
                    multiset overlap, which kills the similar-length junk
                    the pure length bound lets through
-      token_part: subset token sets -> exactly 0.95*100 = 95 before the
-                   length penalty (token_set_ratio returns 100);
+      len_ratio < 1.5 (token branch):
+                  subset token sets -> exactly 0.95*100 = 95
+                   (token_set_ratio returns 100);
                   intersecting non-subset -> 0.95 * max of the three
                    len_bounds of the exact (inter, inter+diff_a,
                    inter+diff_b) strings token_set_ratio compares plus
                    the sorted-all-token bound — all computable from
                    token character sums, no DP;
                   disjoint -> 0.95 * max(len_bound(uniq), len_bound(sort))
-      and the len_ratio >= 8 penalty (token_part *= 0.6/0.95) applies
-      deterministically from the lengths, so it tightens the bound too.
+      len_ratio >= 1.5 (partial branch, scale 0.9 / 0.6 from lengths):
+                  partial_ratio  <= 100 * min(1, common_chars / min_len)
+                   (a window LCS can't beat the whole-string multiset
+                   overlap, nor the window length);
+                  partial_token: intersecting sets -> exactly 100;
+                   disjoint -> 100 * min(1, sorted-join char overlap /
+                   min sorted-join len), where the join overlap is the
+                   non-whitespace multiset overlap + min(spaces) —
+                   joins only reorder non-ws chars and normalize
+                   separators to single spaces.
     Candidates whose bound cannot STRICTLY beat the current best are
     skipped (extractOne keeps the first of equals); bullet-like phrases
     sharing one short token with a divergent-length candidate prune to
     zero scorer calls.
     """
-    q_tokens, q_uniq, q_sort, lq, q_hist = _token_lens(query)
+    q_tokens, q_uniq, q_sort, lq, q_hist, q_ntok = _token_lens(query)
     idx_lens = _index_token_lens(index)
     bounds = []
-    for pos, (c_tokens, c_uniq, c_sort, lc, c_hist) in enumerate(idx_lens):
+    for pos, (c_tokens, c_uniq, c_sort, lc, c_hist, c_ntok) in enumerate(
+            idx_lens):
         if lq == 0 or lc == 0:
             base_bound = _len_bound(lq, lc)
-        else:
-            # LCS <= per-char multiset overlap (candidate histograms are
-            # tiny; iterate the smaller side)
-            small, big = (c_hist, q_hist) if lc <= lq else (q_hist, c_hist)
-            common = 0
-            for ch, n in small.items():
-                m = big.get(ch)
-                if m:
-                    common += n if n <= m else m
-            base_bound = 200.0 * common / (lq + lc)
+            bounds.append(base_bound)
+            continue
+        # LCS <= per-char multiset overlap (candidate histograms are
+        # tiny; iterate the smaller side); track the whitespace part
+        # separately for the sorted-join bound below
+        small, big = (c_hist, q_hist) if lc <= lq else (q_hist, c_hist)
+        common = 0
+        common_ws = 0
+        for ch, n in small.items():
+            m = big.get(ch)
+            if m:
+                c = n if n <= m else m
+                common += c
+                if ch.isspace():
+                    common_ws += c
+        base_bound = 200.0 * common / (lq + lc)
         inter = q_tokens & c_tokens
-        if not inter:
-            token_bound = 0.95 * max(
-                _len_bound(q_uniq, c_uniq), _len_bound(q_sort, c_sort)
-            )
-        elif q_tokens <= c_tokens or c_tokens <= q_tokens:
-            token_bound = 95.0
+        if max(lq, lc) / min(lq, lc) < 1.5:
+            if not inter:
+                token_bound = 0.95 * max(
+                    _len_bound(q_uniq, c_uniq), _len_bound(q_sort, c_sort)
+                )
+            elif q_tokens <= c_tokens or c_tokens <= q_tokens:
+                token_bound = 95.0
+            else:
+                inter_len = _join_len(inter)
+                ca = inter_len + 1 + _join_len(q_tokens - c_tokens)
+                cb = inter_len + 1 + _join_len(c_tokens - q_tokens)
+                tset_b = max(
+                    _len_bound(inter_len, ca),
+                    _len_bound(inter_len, cb),
+                    _len_bound(ca, cb),
+                )
+                token_bound = 0.95 * max(tset_b, _len_bound(q_sort, c_sort))
+            bounds.append(max(base_bound, token_bound))
+            continue
+        pscale = 0.9 if max(lq, lc) / min(lq, lc) < 8 else 0.6
+        min_len = lq if lq < lc else lc
+        pfull_b = 100.0 * (common if common < min_len else min_len) / min_len
+        if inter:
+            ptoken_b = 100.0
+        elif q_sort == 0 or c_sort == 0:
+            ptoken_b = 100.0 if q_sort == c_sort else 0.0
         else:
-            inter_len = _join_len(inter)
-            ca = inter_len + 1 + _join_len(q_tokens - c_tokens)
-            cb = inter_len + 1 + _join_len(c_tokens - q_tokens)
-            tset_b = max(
-                _len_bound(inter_len, ca),
-                _len_bound(inter_len, cb),
-                _len_bound(ca, cb),
-            )
-            token_bound = 0.95 * max(tset_b, _len_bound(q_sort, c_sort))
-        if lq and lc and max(lq, lc) / min(lq, lc) >= 8:
-            token_bound *= 0.6 / 0.95
-        bounds.append(max(base_bound, token_bound))
+            join_common = (common - common_ws) + min(q_ntok - 1, c_ntok - 1)
+            mj = q_sort if q_sort < c_sort else c_sort
+            ptoken_b = 100.0 * (join_common if join_common < mj else mj) / mj
+        bounds.append(max(
+            base_bound, pscale * pfull_b, 0.95 * pscale * ptoken_b
+        ))
     # evaluate in descending-bound order; stop once no remaining bound can
     # reach the best score. Tie semantics preserved exactly: equal scores
     # resolve to the smallest index position (extractOne first-wins).

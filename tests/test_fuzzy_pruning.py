@@ -62,3 +62,59 @@ def test_index_cache_is_content_keyed():
     assert S.best_fuzzy_match("pythn one two", idx2, 90.0) is None
     idx3 = ["pythn one two", "another candidate x"]
     assert S.best_fuzzy_match("pythn one two", idx3, 90.0) == "pythn one two"
+
+
+LONG_WORDS = WORDS + ["microservices", "infrastructure", "observability",
+                      "kubernetes", "application"]
+
+
+@st.composite
+def long_phrase(draw):
+    n = draw(st.integers(6, 14))
+    return " ".join(draw(st.sampled_from(LONG_WORDS)) for _ in range(n))
+
+
+@given(
+    q=st.one_of(phrase(), long_phrase()),
+    idx=st.lists(st.one_of(phrase(), long_phrase()), min_size=1, max_size=15),
+    thr=st.sampled_from([60.0, 80.0, 85.0, 90.0]),
+)
+@settings(max_examples=300, deadline=None)
+def test_pruned_equals_naive_length_divergent(q, idx, thr):
+    """Short-vs-long pairs hit the partial branch (len_ratio >= 1.5, and
+    >= 8 for 1-word vs 14-word extremes) — bounds must stay exact."""
+    assert S.best_fuzzy_match(q, idx, thr) == naive_best(q, idx, thr)
+
+
+def test_wratio_partial_branch_shape():
+    """The public WRatio shape: at len_ratio >= 1.5 partial scorers take
+    over — a short skill appearing verbatim inside a long bullet scores
+    0.9 * partial_ratio(=100) = 90; at len_ratio >= 8 the scale drops to
+    0.6 (60). The shared-token-only floor (no substring window) is
+    0.95 * 0.9 * 100 = 85.5."""
+    bullet = "maintained python batch jobs on a large cluster"  # 48 chars
+    assert S.wratio("python", bullet) == 90.0
+    giant = bullet + " with monitoring dashboards and alerts"    # > 8x of 'aws'
+    assert len(giant) / 3 >= 8
+    giant2 = giant.replace("cluster", "aws cluster")
+    assert S.wratio("aws", giant2) == 60.0
+    # shared token but NO contiguous window (token reordering breaks the
+    # substring): the 0.95 * 0.9 * 100 token floor is what remains
+    q = "learning machine"
+    cand = "machine learning pipelines deployed at scale"
+    assert S.wratio(q, cand) >= 85.5
+    # misspelled substring: partial_ratio finds the best window
+    assert S.wratio("pythn", "maintained python batch jobs") >= 0.9 * 80.0
+    # disjoint everything stays low
+    assert S.wratio("zzz", bullet) < 30.0
+
+
+def test_partial_ratio_window_semantics():
+    # exact substring -> perfect window
+    assert S._partial_ratio("spark", "running spark jobs") == 100.0
+    # one-char-off substring of a much longer string
+    assert S._partial_ratio("sparc", "running spark jobs") == 80.0
+    assert S._partial_ratio("", "") == 100.0
+    assert S._partial_ratio("", "abc") == 0.0
+    # symmetric in argument order
+    assert S._partial_ratio("running spark jobs", "spark") == 100.0
