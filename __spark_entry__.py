@@ -19,15 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from document_parser_private_spark.operators.textstats import (
+    TOKEN_WS_INNER as _TWSI,
+)
 from document_parser_private_spark.semantics import (
     PY_WS_JRE as _PWS,
-    PY_WS_JRE_INNER as _PWSI,
 )
 
-# "whitespace" in every oracle twin = the Python str.split()/strip() set,
-# as an explicit class (RE2 \s is ASCII-only and even differs from Java
-# \s on \x0b) — must mirror the Spark side's semantics.PY_WS_JRE usage.
-_WORD_SQL = "[^" + _PWSI + "]+"
+# Two whitespace contracts, mirrored from the Spark side (see
+# operators/textstats.py TOKEN_WS_INNER): token/bpe/punct extraction uses
+# the explicit ASCII class (perf: Unicode classes fall off Java's regex
+# fast path); strip/collapse surfaces that must match Python
+# str.strip()/split() use the full PY_WS class. Both are spelled as
+# explicit classes because RE2 \s is ASCII-only and differs from Java \s
+# on \x0b.
+_WORD_SQL = "[^" + _TWSI + "]+"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,9 +705,9 @@ _TEXTSTATS_SQL = f"""
 WITH base AS (
   SELECT doc_id, text,
     len(regexp_extract_all(text, '{_WORD_SQL}')) AS tokens,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_PWSI}]')) AS bpe_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_TWSI}]')) AS bpe_tokens,
     len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stop_hits,
-    len(regexp_extract_all(text, '[^A-Za-z0-9{_PWSI}]')) AS punct,
+    len(regexp_extract_all(text, '[^A-Za-z0-9{_TWSI}]')) AS punct,
     length(text) AS chars,
     {', '.join(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANGS_SQL.items())}
   FROM documents

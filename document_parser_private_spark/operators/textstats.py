@@ -27,15 +27,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..semantics import PY_WS_JRE, PY_WS_JRE_INNER
+from ..semantics import PY_WS_JRE
 
-# "Whitespace" in every textstats formula is the Python str.split() set
-# (semantics.PY_WS_*), spelled as an explicit class so the Java, RE2
-# (DuckDB twin), and Python (simhash64_udf's text.split()) renderings
-# agree — engine-native \s differs on \x0b/\x1c-\x1f/\xa0/U+2000..
-WORD_RE = f"[^{PY_WS_JRE_INNER}]+"
-BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{PY_WS_JRE_INNER}]"
-PUNCT_RE = f"[^A-Za-z0-9{PY_WS_JRE_INNER}]"
+# Tokenization whitespace for the textstats/dedup token contracts is the
+# explicit ASCII set below, identical in Java regex and RE2 (engine-native
+# \s differs between them on \x0b). This is a SELF-DEFINED contract, not a
+# Python-parity surface, and the choice is deliberate perf: a character
+# class containing >0xFF codepoints drops Java's regex engine off its
+# ASCII fast path — measured 1.9x slower across the token/bpe/punct
+# extracts at sf0.1 (BENCH/ab_pyws.py, interleaved A/B; the explicit
+# ASCII class is within ~15% of bare \s). The full Python-whitespace
+# class (semantics.PY_WS_JRE) is kept ONLY where Python-parity is the
+# contract: classify trim/split (golden span equality) and fingerprint
+# (dedup keys stable vs Python str.split()).
+TOKEN_WS_INNER = r"\x{9}-\x{d}\x{20}"
+WORD_RE = f"[^{TOKEN_WS_INNER}]+"
+BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{TOKEN_WS_INNER}]"
+PUNCT_RE = f"[^A-Za-z0-9{TOKEN_WS_INNER}]"
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
