@@ -637,6 +637,15 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH-verified near-dup graph
+    (jaccard >= 0.5): distributed min-label propagation; DuckDB twin
+    re-derives the same graph and resolves components with a recursive
+    reachability CTE."""
+    from document_parser_private_spark.operators.dedup import dedup_clusters
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LSH path: minhash sig -> 8 bands -> self-join on band bucket
     -> distinct candidate pairs. The shuffle carries only (doc_id,
@@ -681,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skill_fuzzy_join": _q_skill_fuzzy_join,
         "minhash_candidates": _q_minhash_candidates,
         "jaccard_on_candidates": _q_jaccard_on_candidates,
+        "dedup_clusters": _q_dedup_clusters,
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,
         "pii_mask_text": _q_pii_mask_text,
@@ -970,6 +980,46 @@ FROM pairs p
 JOIN toks ta ON ta.doc_id = p.id_a
 JOIN toks tb ON tb.doc_id = p.id_b
 """
+
+def _dedup_clusters_sql() -> str:
+    """Same minhash/band/Jaccard chain as the jaccard_on_candidates twin,
+    then connected components via a recursive reachability CTE:
+    cluster_id(v) = min id over everything reachable from v through
+    jaccard >= 0.5 edges (symmetrized)."""
+    ctes = _minhash_ctes().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return ctes + f"""
+, banded AS (
+  SELECT doc_id, b AS band_idx,
+    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key
+  FROM sig, generate_series(0, 7) AS t(b)
+), toks AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), jac AS (
+  SELECT p.id_a, p.id_b,
+    round(len(list_intersect(ta.tok, tb.tok))::DOUBLE
+          / greatest(len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok)), 1)::DOUBLE,
+    6) AS jaccard
+  FROM pairs p
+  JOIN toks ta ON ta.doc_id = p.id_a
+  JOIN toks tb ON tb.doc_id = p.id_b
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
 
 _EVAL_METRICS_SQL = f"""
 WITH toks AS (
@@ -1539,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash": _MINHASH_SQL,
         "minhash_candidates": _MINHASH_CANDIDATES_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
         "jaccard_on_candidates": _minhash_ctes() + ", banded AS (\n  SELECT doc_id, b AS band_idx,\n    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key\n  FROM sig, generate_series(0, 7) AS t(b)\n)" + _JACCARD_ON_CANDIDATES_SQL_TAIL,
         "jaccard_pairs": f"""
             WITH toks AS (

@@ -411,16 +411,20 @@ best same-run pair efficiencies: 2->8 {h_eff_2_8}, 8->32 {h_eff_8_32}
         f.write(md)
 
 
-def regenerate_md() -> None:
-    """Rebuild BENCH/BASELINE.md from the latest FULL run in the ledger
-    (pair probes are skipped) without re-running anything."""
+def regenerate_md(stamp_prefix: str | None = None) -> None:
+    """Rebuild BENCH/BASELINE.md from a FULL run in the ledger (pair
+    probes are skipped) without re-running anything. Default: the latest
+    full run; pass a stamp prefix to select a specific one (every run
+    stays visible in the ledger and in the best-observed section)."""
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
     full = [
         json.loads(line) for line in open(hist_path)
         if '"best_config_dps"' in line and '"all_rounds"' in line
     ]
+    if stamp_prefix:
+        full = [h for h in full if h["stamp"].startswith(stamp_prefix)]
     if not full:
-        raise SystemExit("no full-run entries in the ledger")
+        raise SystemExit("no matching full-run entries in the ledger")
     write_md(full[-1])
     print(f"BASELINE.md regenerated from run {full[-1]['stamp']}")
 
@@ -429,6 +433,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "pair":
         main_pair([int(c) for c in sys.argv[2:]] or [8, 32])
     elif len(sys.argv) > 1 and sys.argv[1] == "md":
-        regenerate_md()
+        regenerate_md(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         main()

@@ -392,3 +392,74 @@ def jaccard_on_candidates(df: DataFrame, id_col: str = "doc_id",
         )
     )
     return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.5,
+                   max_iter: int = 10) -> DataFrame:
+    """Connected components over the LSH-verified near-dup graph:
+    (doc_id, cluster_id) with cluster_id = min doc id reachable through
+    edges with token-Jaccard >= threshold. Singletons map to themselves.
+    This is the step a training pipeline runs after pair generation —
+    pick one representative per cluster instead of reasoning about pairs.
+
+    Distributed min-label propagation: labels start as own id; each
+    iteration takes the min over neighbors' labels (one shuffle join +
+    one partial-aggregated groupBy per iteration), stopping early when a
+    sweep changes nothing. Iterations needed = graph diameter, and the
+    candidate generator star-links oversized buckets through their min
+    id, so real near-dup clusters converge in 2-4 sweeps; max_iter is a
+    backstop, and convergence failure raises rather than returning a
+    silently-unfinished clustering. The verified edge list is persisted
+    once so the minhash/Jaccard DAG does not recompute per sweep.
+    """
+    edges = jaccard_on_candidates(
+        df, id_col=id_col, text_col=text_col, threshold=threshold
+    ).select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = df.select(F.col(id_col).alias("id")).distinct() \
+        .withColumn("comp", F.col("id")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(
+                    labels.select(F.col("id").alias("id_b"),
+                                  F.col("comp").alias("comp_b")),
+                    "id_b",
+                )
+                .groupBy("id_a")
+                .agg(F.min("comp_b").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["id"] == nbr["id_a"], "left")
+                .select(
+                    F.col("id"),
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("nbr_min"), F.col("comp")),
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} sweeps"
+            )
+    finally:
+        sym.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
+    )

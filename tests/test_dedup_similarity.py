@@ -139,3 +139,34 @@ def test_minhash_candidates_bucket_guard(spark):
     cluster_pairs = [(a, b) for a, b in ids if a < n and b <= n]
     touched = {a for a, _ in cluster_pairs} | {b for _, b in cluster_pairs}
     assert touched == set(range(n))
+
+
+def test_dedup_clusters_transitive(spark):
+    """Near-dup pairs resolve into connected components: exact dup (1,2)
+    and near dup 3 merge into one cluster keyed by the min id; unrelated
+    docs stay singletons mapped to themselves."""
+    from document_parser_private_spark.operators.dedup import dedup_clusters
+    d = _docs_with_dups(spark)
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(d, threshold=0.5).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4 and out[5] == 5
+    assert len(out) == 5
+
+
+def test_dedup_clusters_chain_transitivity(spark):
+    """A chain a~b~c where a and c share no band must still cluster
+    together (label propagation crosses multiple hops)."""
+    from document_parser_private_spark.operators.dedup import dedup_clusters
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base.replace("alpha", "lambda")),           # ~ 10
+        (12, base.replace("alpha", "lambda").replace("beta", "mu")),  # ~ 11
+        (13, "completely different text about other things entirely"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(d, threshold=0.5).collect()}
+    assert out[10] == out[11] == out[12] == 10
+    assert out[13] == 13
