@@ -394,33 +394,24 @@ def jaccard_on_candidates(df: DataFrame, id_col: str = "doc_id",
     return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
-def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", threshold: float = 0.5,
-                   max_iter: int = 10) -> DataFrame:
-    """Connected components over the LSH-verified near-dup graph:
-    (doc_id, cluster_id) with cluster_id = min doc id reachable through
-    edges with token-Jaccard >= threshold. Singletons map to themselves.
-    This is the step a training pipeline runs after pair generation —
-    pick one representative per cluster instead of reasoning about pairs.
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 10) -> DataFrame:
+    """Distributed connected components: vertices(id), edges(id_a, id_b)
+    -> (id, comp) with comp = min id reachable from each vertex.
 
-    Distributed min-label propagation: labels start as own id; each
-    iteration takes the min over neighbors' labels (one shuffle join +
-    one partial-aggregated groupBy per iteration), stopping early when a
-    sweep changes nothing. Iterations needed = graph diameter, and the
-    candidate generator star-links oversized buckets through their min
-    id, so real near-dup clusters converge in 2-4 sweeps; max_iter is a
-    backstop, and convergence failure raises rather than returning a
-    silently-unfinished clustering. The verified edge list is persisted
-    once so the minhash/Jaccard DAG does not recompute per sweep.
-    """
-    edges = jaccard_on_candidates(
-        df, id_col=id_col, text_col=text_col, threshold=threshold
-    ).select("id_a", "id_b")
-    sym = edges.unionByName(
+    Min-label propagation: labels start as own id; each sweep takes the
+    min over neighbors' labels (one shuffle join + one partial-aggregated
+    groupBy), stopping early when a sweep changes nothing. Sweeps needed
+    = graph diameter; max_iter is a backstop, and convergence failure
+    raises rather than returning a silently-unfinished clustering. The
+    edge list is persisted once so its upstream DAG does not recompute
+    per sweep. Property-tested against a pure-Python union-find on
+    random graphs (tests/test_dedup_similarity.py)."""
+    sym = edges.select("id_a", "id_b").unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
-    labels = df.select(F.col(id_col).alias("id")).distinct() \
-        .withColumn("comp", F.col("id")).persist()
+    labels = vertices.select(F.col(vertices.columns[0]).alias("id")) \
+        .distinct().withColumn("comp", F.col("id")).persist()
     labels.count()
     try:
         for _ in range(max_iter):
@@ -456,10 +447,30 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
                 break
         else:
             raise RuntimeError(
-                f"dedup_clusters did not converge in {max_iter} sweeps"
+                f"connected_components did not converge in {max_iter} sweeps"
             )
     finally:
         sym.unpersist()
+    return labels
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.5,
+                   max_iter: int = 10) -> DataFrame:
+    """Near-dup cluster resolution: (doc_id, cluster_id) connected
+    components over the LSH-verified pair graph (token-Jaccard >=
+    threshold edges); cluster_id = min doc id in the component,
+    singletons map to themselves. This is the step a training pipeline
+    runs after pair generation — pick one representative per cluster
+    instead of reasoning about pairs. The candidate generator star-links
+    oversized buckets through their min id, bounding component diameter,
+    so real corpora converge in 2-4 propagation sweeps."""
+    edges = jaccard_on_candidates(
+        df, id_col=id_col, text_col=text_col, threshold=threshold
+    ).select("id_a", "id_b")
+    labels = connected_components(
+        df.select(F.col(id_col)), edges, max_iter=max_iter
+    )
     return labels.select(
         F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
     )

@@ -170,3 +170,43 @@ def test_dedup_clusters_chain_transitivity(spark):
            for r in dedup_clusters(d, threshold=0.5).collect()}
     assert out[10] == out[11] == out[12] == 10
     assert out[13] == 13
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: distributed min-label propagation == pure-Python
+    union-find on random graphs (several seeds, one Spark call each)."""
+    import random
+    from document_parser_private_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randint(5, 50))]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in range(n)}
+        # canonicalize: min id per component
+        comp_min = {}
+        for v, r in expected.items():
+            comp_min.setdefault(r, v)  # v ascends, first seen is min
+        expected = {v: comp_min[r] for v, r in sorted(expected.items())}
+
+        verts = spark.createDataFrame([(v,) for v in range(n)], "id long")
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long")
+        got = {r["id"]: r["comp"]
+               for r in connected_components(verts, edf).collect()}
+        assert got == expected, (seed, got, expected)
