@@ -410,9 +410,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     sym = edges.select("id_a", "id_b").unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
+    # localCheckpoint (not persist): each sweep's frame must TRUNCATE
+    # lineage, or the logical plan doubles per sweep and Catalyst
+    # re-analysis dominates — measured 565 s for a 5k-doc corpus before,
+    # ~10 s after. Eager, so the sweep materializes here and the changed
+    # count below reads the checkpointed RDD.
     labels = vertices.select(F.col(vertices.columns[0]).alias("id")) \
-        .distinct().withColumn("comp", F.col("id")).persist()
-    labels.count()
+        .distinct().withColumn("comp", F.col("id")).localCheckpoint()
     try:
         for _ in range(max_iter):
             nbr = (
@@ -433,7 +437,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                         F.coalesce(F.col("nbr_min"), F.col("comp")),
                     ).alias("comp"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -441,7 +445,6 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 .where(F.col("n.comp") != F.col("o.comp"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
@@ -464,13 +467,30 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
     runs after pair generation — pick one representative per cluster
     instead of reasoning about pairs. The candidate generator star-links
     oversized buckets through their min id, bounding component diameter,
-    so real corpora converge in 2-4 propagation sweeps."""
+    so real corpora converge in 2-4 propagation sweeps.
+
+    Scale shape: the iteration runs ONLY over the edge-touched subgraph —
+    near-dup edges touch a small fraction of any real corpus, so the
+    per-sweep joins handle a tiny table no matter how large the input;
+    the full corpus is swept exactly once by the final left join
+    (untouched docs are their own cluster)."""
     edges = jaccard_on_candidates(
         df, id_col=id_col, text_col=text_col, threshold=threshold
-    ).select("id_a", "id_b")
-    labels = connected_components(
-        df.select(F.col(id_col)), edges, max_iter=max_iter
-    )
-    return labels.select(
-        F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
-    )
+    ).select("id_a", "id_b").persist()
+    try:
+        touched = (
+            edges.select(F.col("id_a").alias("id"))
+            .unionByName(edges.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        comp = connected_components(touched, edges, max_iter=max_iter)
+        return (
+            df.select(F.col(id_col))
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    finally:
+        edges.unpersist(blocking=False)
