@@ -764,17 +764,17 @@ SELECT doc_id,
 FROM r
 """
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents", pre: str = "") -> str:
     from document_parser_private_spark.operators.dedup import (
         MINHASH_A, MINHASH_B, MINHASH_P,
     )
     a = ", ".join(str(x) for x in MINHASH_A)
     b = ", ".join(str(x) for x in MINHASH_B)
     return f"""
-WITH consts AS (
+WITH {pre}consts AS (
   SELECT [{a}] AS pa, [{b}] AS pb
 ), words AS (
-  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS w FROM documents
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS w FROM {src}
 ), sh AS (
   SELECT doc_id,
     CASE WHEN len(w) >= 3
@@ -801,17 +801,50 @@ SELECT doc_id,
 FROM sig
 """
 
-_MINHASH_CANDIDATES_SQL = _minhash_ctes() + """
+# The guarded-path twins mirror minhash_candidates' default semantics
+# EXACTLY (operators/dedup.py): only one representative per distinct
+# md5(text) is banded, exact duplicates star-link to their
+# representative, buckets over max_bucket=64 members degrade to star
+# linking through the bucket min id. Parity therefore holds at any
+# scale/corpus, not just when no bucket happens to exceed the cap.
+_REPS_PRE = """reps AS (
+  SELECT md5(text) AS fp, min(doc_id) AS doc_id, any_value(text) AS text
+  FROM documents GROUP BY md5(text)
+), dup_star AS (
+  SELECT r.doc_id AS id_a, d.doc_id AS id_b
+  FROM documents d JOIN reps r ON md5(d.text) = r.fp
+  WHERE d.doc_id <> r.doc_id
+), """
+
+_PAIRS_GUARDED = """
 , banded AS (
   SELECT doc_id, b AS band_idx,
     md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key
   FROM sig, generate_series(0, 7) AS t(b)
+), b2 AS (
+  SELECT doc_id, band_idx, band_key,
+    count(*) OVER (PARTITION BY band_idx, band_key) AS c,
+    min(doc_id) OVER (PARTITION BY band_idx, band_key) AS mn
+  FROM banded
+), pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM b2 a JOIN b2 b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE a.c <= 64
+    UNION ALL
+    SELECT mn AS id_a, doc_id AS id_b FROM b2 WHERE c > 64 AND doc_id <> mn
+    UNION ALL
+    SELECT id_a, id_b FROM dup_star
+  )
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
- AND a.doc_id < b.doc_id
 """
+
+_MINHASH_CANDIDATES_SQL = (
+    _minhash_ctes(src="reps", pre=_REPS_PRE) + _PAIRS_GUARDED
+    + "SELECT id_a, id_b FROM pairs"
+)
 
 _IVF_TOPK_SQL = """
 WITH e AS (
@@ -966,11 +999,6 @@ _JACCARD_ON_CANDIDATES_SQL_TAIL = f"""
 , toks AS (
   SELECT doc_id, list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
   FROM documents
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
 )
 SELECT p.id_a, p.id_b,
   round(len(list_intersect(ta.tok, tb.tok))::DOUBLE
@@ -986,20 +1014,12 @@ def _dedup_clusters_sql() -> str:
     then connected components via a recursive reachability CTE:
     cluster_id(v) = min id over everything reachable from v through
     jaccard >= 0.5 edges (symmetrized)."""
-    ctes = _minhash_ctes().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
-    return ctes + f"""
-, banded AS (
-  SELECT doc_id, b AS band_idx,
-    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key
-  FROM sig, generate_series(0, 7) AS t(b)
-), toks AS (
+    ctes = _minhash_ctes(src="reps", pre=_REPS_PRE).replace(
+        "\nWITH ", "\nWITH RECURSIVE ", 1)
+    return ctes + _PAIRS_GUARDED + f"""
+, toks AS (
   SELECT doc_id, list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
   FROM documents
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
 ), jac AS (
   SELECT p.id_a, p.id_b,
     round(len(list_intersect(ta.tok, tb.tok))::DOUBLE
@@ -1590,7 +1610,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash": _MINHASH_SQL,
         "minhash_candidates": _MINHASH_CANDIDATES_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
-        "jaccard_on_candidates": _minhash_ctes() + ", banded AS (\n  SELECT doc_id, b AS band_idx,\n    md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS band_key\n  FROM sig, generate_series(0, 7) AS t(b)\n)" + _JACCARD_ON_CANDIDATES_SQL_TAIL,
+        "jaccard_on_candidates": _minhash_ctes(src="reps", pre=_REPS_PRE)
+            + _PAIRS_GUARDED + _JACCARD_ON_CANDIDATES_SQL_TAIL,
         "jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id, source AS bucket,

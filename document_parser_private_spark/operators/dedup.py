@@ -196,10 +196,14 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     connected-component dedup, and each star pair still passes exact
     Jaccard verification downstream. Buckets at or under the cap keep
     exact all-pairs semantics, so normal corpora are unaffected.
-    max_bucket=None disables the guard (exact all-pairs everywhere).
+    The guarded path also pre-collapses EXACT duplicates (same md5
+    fingerprint) to one banded representative and star-links the rest,
+    so a giant identical-copy cluster can neither blow up a bucket
+    buffer nor generate quadratic pairs. max_bucket=None disables both
+    the guard and the pre-collapse (exact all-pairs everywhere).
     """
-    banded = minhash_bands_agg(df, text_col, id_col)
     if max_bucket is None:
+        banded = minhash_bands_agg(df, text_col, id_col)
         a, b = banded.alias("a"), banded.alias("b")
         return (
             a.join(
@@ -214,15 +218,40 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
             )
             .distinct()
         )
-    # Guarded path: ONE shuffle total — collect each bucket's ids, then
-    # generate pairs with array expressions (all-pairs for buckets at or
-    # under the cap, star otherwise) and explode. Measured ~2x faster
-    # than the band self-join + stats-join formulation at sf0.1 (the
-    # self-join shuffles banded twice; this shuffles it once with
-    # partial aggregation). Memory note: a bucket's id list materializes
-    # in one aggregation buffer — fine up to millions of ids; for
-    # corpora with larger exact-duplicate clusters run exact_dedup
-    # first (recommended ordering regardless).
+    # Guarded path: collect each bucket's ids, then generate pairs with
+    # array expressions (all-pairs for buckets at or under the cap, star
+    # otherwise) and explode. Measured ~2x faster than the band
+    # self-join + stats-join formulation at sf0.1 (the self-join
+    # shuffles banded twice; this shuffles it once with partial
+    # aggregation).
+    #
+    # Self-enforcing memory bound (r4): only one REPRESENTATIVE per
+    # distinct text (min id per md5 fingerprint) is banded; every other
+    # exact duplicate is star-linked straight to its representative.
+    # A million-copy boilerplate cluster contributes ONE banded row, so
+    # no bucket's collect_list buffer can be blown up by exact
+    # duplicates — the former "run exact_dedup first" ordering caveat
+    # is enforced in-operator (tests/test_dedup_similarity.py drives
+    # 50k identical docs through this path). Buckets can exceed the cap
+    # only via many DISTINCT near-dup texts, which still degrade to
+    # star linking. The DuckDB twins in __spark_entry__ mirror these
+    # exact semantics (reps + dup stars + capped buckets), so the
+    # driver's value-hash gate holds at any scale, not just when no
+    # bucket happens to exceed the cap.
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+    reps = (
+        df.select(F.col(id_col), F.col(text_col),
+                  F.md5(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+    )
+    dup_star = (
+        fp.join(reps.select(F.col(id_col).alias("_rep"), "_fp"), "_fp")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    banded = minhash_bands_agg(reps.select(id_col, text_col),
+                               text_col, id_col)
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -238,12 +267,13 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
         ))
         return F.when(n <= F.lit(max_bucket), all_pairs).otherwise(star)
 
-    return (
+    bucket_pairs = (
         buckets.where(F.size("ids") >= 2)
         .select(F.explode(bind_once(F.col("ids"), pairs_of)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    return bucket_pairs.unionByName(dup_star)
 
 
 def jaccard_token_col(a: Column, b: Column) -> Column:
@@ -399,14 +429,20 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """Distributed connected components: vertices(id), edges(id_a, id_b)
     -> (id, comp) with comp = min id reachable from each vertex.
 
-    Min-label propagation: labels start as own id; each sweep takes the
-    min over neighbors' labels (one shuffle join + one partial-aggregated
-    groupBy), stopping early when a sweep changes nothing. Sweeps needed
-    = graph diameter; max_iter is a backstop, and convergence failure
-    raises rather than returning a silently-unfinished clustering. The
-    edge list is persisted once so its upstream DAG does not recompute
-    per sweep. Property-tested against a pure-Python union-find on
-    random graphs (tests/test_dedup_similarity.py)."""
+    Min-label propagation with POINTER DOUBLING: each sweep first takes
+    the min over neighbors' labels (one shuffle join + one
+    partial-aggregated groupBy), then jumps every label to its label's
+    label (comp <- min(comp, comp[comp]) — valid because labels are
+    always vertex ids of this graph). The jump halves the remaining
+    label-tree height, so convergence needs O(log diameter) sweeps
+    instead of O(diameter): a 1000-link chain of pairwise near-dups
+    resolves within the default backstop rather than aborting (r4 —
+    was one-hop-per-sweep). max_iter remains a backstop and
+    convergence failure raises rather than returning a
+    silently-unfinished clustering. The edge list is persisted once so
+    its upstream DAG does not recompute per sweep. Property-tested
+    against a pure-Python union-find on random graphs, including long
+    chains (tests/test_dedup_similarity.py)."""
     sym = edges.select("id_a", "id_b").unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
@@ -428,13 +464,31 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 .groupBy("id_a")
                 .agg(F.min("comp_b").alias("nbr_min"))
             )
-            new_labels = (
+            hop = (
                 labels.join(nbr, labels["id"] == nbr["id_a"], "left")
                 .select(
                     F.col("id"),
                     F.least(
                         F.col("comp"),
                         F.coalesce(F.col("nbr_min"), F.col("comp")),
+                    ).alias("comp"),
+                )
+                .localCheckpoint()  # referenced twice by the jump join
+            )
+            # pointer doubling: comp <- min(comp, comp[comp]); comp
+            # values are vertex ids, so self-join on them resolves one
+            # extra tree level per sweep -> O(log diameter) sweeps
+            new_labels = (
+                hop.join(
+                    hop.select(F.col("id").alias("comp"),
+                               F.col("comp").alias("comp2")),
+                    "comp", "left",
+                )
+                .select(
+                    F.col("id"),
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("comp2"), F.col("comp")),
                     ).alias("comp"),
                 )
                 .localCheckpoint()

@@ -118,7 +118,7 @@ def test_minhash_candidates_bucket_guard(spark):
     """A giant exact-duplicate cluster must NOT go quadratic: oversized
     band buckets star-link to the bucket's min id (O(c) pairs, cluster
     stays connected), while normal-size buckets keep all-pairs."""
-    n = 10_000
+    n = 50_000
     dup = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.lit("the same boilerplate page repeated everywhere verbatim")
@@ -210,3 +210,70 @@ def test_connected_components_matches_union_find(spark):
         got = {r["id"]: r["comp"]
                for r in connected_components(verts, edf).collect()}
         assert got == expected, (seed, got, expected)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer doubling: a chain far longer than max_iter hops must still
+    converge (label trees collapse O(log diameter), not one hop/sweep)."""
+    from document_parser_private_spark.operators.dedup import (
+        connected_components,
+    )
+    n = 60  # diameter 59 >> max_iter=10; doubling needs ~6 sweeps
+    verts = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r["id"]: r["comp"]
+           for r in connected_components(verts, edf, max_iter=10).collect()}
+    assert got == {v: 0 for v in range(n)}
+
+
+def _twin_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_guarded_twins_match_on_hot_corpus(spark):
+    """The DuckDB twins mirror the guarded candidate semantics (exact-dup
+    pre-collapse + star links, >64 bucket star cap) — so parity must hold
+    on a corpus that actually TRIPS both branches, which the driver's
+    sf0.01 gate never does (no dups, no hot buckets there)."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as E
+    from document_parser_private_spark.operators.dedup import (
+        dedup_clusters, minhash_bands_agg, minhash_candidates,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    # 90 DISTINCT near-dups of one base text -> some band bucket > 64
+    for i in range(90):
+        rows.append((f"d{i:03d}", base + f" variant{i:03d}"))
+    # 30 EXACT copies of one text -> pre-collapse + dup star links
+    for i in range(30):
+        rows.append((f"e{i:03d}", "the same boilerplate page verbatim"))
+    rows.append(("zzz", "a completely unrelated document about engines"))
+    df = _twin_frame(spark, rows)
+
+    # the hot-bucket branch must actually engage for this test to mean
+    # anything: check a rep bucket over the cap exists
+    reps = df.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    hot = (minhash_bands_agg(reps.select("doc_id", "text"))
+           .groupBy("band_idx", "band_key").count()
+           .agg(F.max("count")).collect()[0][0])
+    assert hot > 64, f"corpus does not trip the bucket cap (max={hot})"
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    spark_pairs = {(r["id_a"], r["id_b"])
+                   for r in minhash_candidates(df).collect()}
+    twin_pairs = {tuple(t) for t in con.execute(
+        E._MINHASH_CANDIDATES_SQL).fetchall()}
+    assert spark_pairs == twin_pairs
+
+    spark_clusters = {r["doc_id"]: r["cluster_id"]
+                      for r in dedup_clusters(df, threshold=0.5).collect()}
+    twin_clusters = dict(con.execute(E._dedup_clusters_sql()).fetchall())
+    assert spark_clusters == twin_clusters
