@@ -25,6 +25,7 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -93,7 +94,6 @@ def _fake_decode(payload: bytes) -> tuple[int, float, float, str]:
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """RGB uint8 array (H, W, 3) -> uncompressed 24bpp BMP bytes
     (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
-    import struct
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
     row = w * 3
@@ -114,7 +114,6 @@ def _decode_bmp(b: bytes) -> tuple[int, int, np.ndarray]:
     """BMP bytes -> (width, height, RGB uint8 array (H, W, 3)).
     Supports the encode_bmp subset: 24bpp, BI_RGB, bottom-up or top-down.
     Raises ValueError on anything else."""
-    import struct
     if len(b) < 54 or b[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", b, 10)[0]
@@ -139,7 +138,6 @@ def _decode_bmp(b: bytes) -> tuple[int, int, np.ndarray]:
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono sample array -> 16-bit PCM RIFF/WAVE bytes."""
-    import struct
     assert samples.dtype == np.int16 and samples.ndim == 1
     data = samples.tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
@@ -152,7 +150,6 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 def _decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     """WAV bytes -> (sample_rate, duration_ms, int16 sample array).
     Supports 16-bit PCM; walks RIFF chunks. Raises ValueError otherwise."""
-    import struct
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, rate, channels, bits, data = 12, None, None, None, None
@@ -161,10 +158,14 @@ def _decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
         clen = struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or bits != 16:
                 raise ValueError("unsupported WAV encoding")
+            if rate == 0 or channels == 0:
+                raise ValueError("zero sample rate / channel count")
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen % 2)        # chunks are word-aligned
@@ -191,7 +192,9 @@ def _real_decode(b: bytes):
             mean = float(s.mean()) if s.size else 0.0
             std = float(s.std()) if s.size else 0.0
             return ("pcm16", None, None, dur_ms, mean, std)
-    except ValueError:
+    except (ValueError, IndexError, struct.error):
+        # malformed containers (truncated chunks, bad headers) must fall
+        # back to the fake decoder, never crash the Spark task
         return None
     return None
 

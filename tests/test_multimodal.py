@@ -147,3 +147,32 @@ def test_resize_media_geometry(spark, corpus_df):
         else:
             assert (r["width"], r["height"]) == (s["width"], s["height"])
         assert len(r["payload"]) >= 1
+
+
+def test_malformed_containers_fall_back_not_crash():
+    """RIFF payloads with truncated fmt chunks, zero sample rates, or
+    short headers must return None from _real_decode (-> fake fallback),
+    never raise struct.error/ZeroDivisionError into the Spark task."""
+    import struct
+    from document_parser_private_spark.operators.multimodal import (
+        _real_decode, encode_wav,
+    )
+    import numpy as np
+
+    good = encode_wav(np.zeros(8, dtype=np.int16), 16000)
+    assert _real_decode(good) is not None
+
+    # truncated fmt chunk: declares 16 bytes, carries 4
+    trunc = (b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
+    assert _real_decode(trunc) is None
+
+    # zero sample rate
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    zero_rate = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                 + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    assert _real_decode(zero_rate) is None
+
+    # BMP too short for its own header
+    assert _real_decode(b"BM" + b"\x00" * 20) is None
