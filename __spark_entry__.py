@@ -654,6 +654,49 @@ def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir))
 
 
+def _q_layout_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 layout pass oracle (semantics.layout_reading_order via
+    operators.layout.layout_order_op): two-column docs with jittered
+    baselines, synthesized deterministically from doc_id with pure
+    integer arithmetic the DuckDB twin replays in SQL.
+
+    Per doc, 12 spans at array positions j=0..11 hold logical span
+    i=(5j+doc_id)%12 (a bijection, so input order != reading order);
+    geometry g=i (except i=11 reuses g=10 — an exact (y,x) tie broken by
+    stored position): row=g%6, col = g>=6 (docs with doc_id%3==0 are
+    single-column), y = 10*row + (doc_id + (g%4>=2)) % 2 (left/right
+    jitter parity flips, so merged line clusters span both columns),
+    x = 20 + 3*((doc_id+g)%5) (+480 in the right column; gutter gap
+    ~468 >= GUTTER_MIN, 6 spans per side >= COL_MIN_SPANS). Output:
+    (doc_id, pos, text) with pos = layout reading order 0..11."""
+    from document_parser_private_spark.operators.layout import layout_order_op
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+
+    def span_at(j):
+        i = (j * 5 + did) % 12
+        g = F.when(i == 11, F.lit(10)).otherwise(i)
+        single = (did % 3) == 0
+        jitter = (did + F.when(g % 4 >= 2, 1).otherwise(0)) % 2
+        y = (g % 6) * 10 + jitter
+        xbase = F.lit(20) + ((did + g) % 5) * 3
+        x = F.when((g >= 6) & ~single, xbase + 480).otherwise(xbase)
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("s"), i.cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (y * 1024 + x).cast("int").alias("offset"),
+        )
+
+    df = d.withColumn("spans", F.transform(F.sequence(F.lit(0), F.lit(11)),
+                                           span_at))
+    out = layout_order_op(df, "spans")
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"),
+             F.col("s.text").alias("text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -694,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skill_normalize_join": _q_skill_normalize_join,
         "pii_anonymize": _q_pii_anonymize,
         "pii_mask_text": _q_pii_mask_text,
+        "layout_order": _q_layout_order,
     }
 
 
@@ -1476,6 +1520,68 @@ GROUP BY source
 """
 
 
+def _layout_order_sql() -> str:
+    """DuckDB twin of _q_layout_order: replays the span synthesis with
+    the same integer arithmetic, then re-derives the layout key
+    (semantics.layout_reading_order) relationally — line ids via a
+    cumulative gap count over distinct ys, the gutter via the first
+    largest x-gap >= GUTTER_MIN with >= COL_MIN_SPANS spans per side,
+    final order (col, line, x, y, stored position)."""
+    from document_parser_private_spark.semantics import (
+        COL_MIN_SPANS, GUTTER_MIN, LINE_GAP,
+    )
+    return f"""
+WITH sp AS (
+  SELECT d.doc_id, t.j, (5 * t.j + d.doc_id) % 12 AS i
+  FROM documents d, generate_series(0, 11) AS t(j)
+), pts AS (
+  SELECT doc_id, j, i,
+    (g % 6) * 10
+      + (doc_id + CASE WHEN g % 4 >= 2 THEN 1 ELSE 0 END) % 2 AS y,
+    CASE WHEN g >= 6 AND doc_id % 3 <> 0
+         THEN 500 + 3 * ((doc_id + g) % 5)
+         ELSE 20 + 3 * ((doc_id + g) % 5) END AS x
+  FROM (SELECT doc_id, j, i,
+               CASE WHEN i = 11 THEN 10 ELSE i END AS g FROM sp)
+), ys AS (
+  SELECT doc_id, y,
+         lag(y) OVER (PARTITION BY doc_id ORDER BY y) AS prev_y
+  FROM (SELECT DISTINCT doc_id, y FROM pts)
+), lines AS (
+  SELECT doc_id, y,
+    SUM(CASE WHEN prev_y IS NULL OR y - prev_y > {LINE_GAP}
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY y) AS line
+  FROM ys
+), gaps AS (
+  SELECT doc_id, x,
+         x - lag(x) OVER (PARTITION BY doc_id ORDER BY x) AS gap
+  FROM (SELECT DISTINCT doc_id, x FROM pts)
+), best AS (
+  SELECT doc_id, x AS gx FROM (
+    SELECT doc_id, x, gap,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY gap DESC, x ASC) AS rn
+    FROM gaps WHERE gap IS NOT NULL
+  ) WHERE rn = 1 AND gap >= {GUTTER_MIN}
+), gutter AS (
+  SELECT b.doc_id, b.gx
+  FROM best b JOIN pts p ON p.doc_id = b.doc_id
+  GROUP BY b.doc_id, b.gx
+  HAVING sum(CASE WHEN p.x < b.gx THEN 1 ELSE 0 END) >= {COL_MIN_SPANS}
+     AND sum(CASE WHEN p.x >= b.gx THEN 1 ELSE 0 END) >= {COL_MIN_SPANS}
+)
+SELECT p.doc_id,
+  (row_number() OVER (PARTITION BY p.doc_id ORDER BY
+     CASE WHEN g.gx IS NOT NULL AND p.x >= g.gx THEN 1 ELSE 0 END,
+     l.line, p.x, p.y, p.j) - 1)::INT AS pos,
+  's' || p.i::VARCHAR AS text
+FROM pts p
+JOIN lines l ON l.doc_id = p.doc_id AND l.y = p.y
+LEFT JOIN gutter g ON g.doc_id = p.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "fuzzy_eval": _fuzzy_eval_sql(),
@@ -1608,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dup GROUP BY 1
         """,
         "minhash": _MINHASH_SQL,
+        "layout_order": _layout_order_sql(),
         "minhash_candidates": _MINHASH_CANDIDATES_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "jaccard_on_candidates": _minhash_ctes(src="reps", pre=_REPS_PRE)

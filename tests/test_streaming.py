@@ -87,3 +87,45 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert s["session_end"] == t0 + dt.timedelta(minutes=10)
     assert s["n_events"] == 2
     assert s["closed"] is True
+
+
+def test_stream_dedup_matches_batch_survivors(spark, tmp_path):
+    """Semantic-drift guard between the streaming dedup
+    (dropDuplicatesWithinWatermark over the span-text fingerprint) and
+    the batch exact_dedup: replaying the same corpus (with planted
+    duplicates) through both must yield the same survivor fingerprint
+    set at the watermark horizon — one survivor per fingerprint."""
+    from pyspark.sql import functions as F
+    from document_parser_private_spark.operators.dedup import exact_dedup
+    from document_parser_private_spark.streaming.stream import (
+        run_stream_dedup_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in")
+    write_corpus_parquet(in_dir, n=40, seed=5, shards=4)
+    docs = spark.read.parquet(in_dir)
+    # plant exact duplicates under fresh ids (same span text)
+    both_dir = str(tmp_path / "both")
+    docs.unionByName(
+        docs.withColumn("doc_id", F.concat("doc_id", F.lit("_dup")))
+    ).write.parquet(both_dir)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_dedup_to_parquet(spark, both_dir, out_dir, ckpt)
+    streamed = spark.read.parquet(out_dir).collect()
+    streamed_fps = [r["fingerprint"] for r in streamed]
+
+    text = F.concat_ws(
+        "\n", F.transform("spans", lambda s: F.coalesce(s["text"], F.lit("")))
+    )
+    batch = exact_dedup(
+        spark.read.parquet(both_dir).withColumn("text", text),
+        text_col="text",
+    ).collect()
+
+    # same survivor fingerprints, exactly one stream survivor per fp
+    assert sorted(streamed_fps) == sorted(r["fingerprint"] for r in batch)
+    assert len(streamed_fps) == len(set(streamed_fps))
+    # every planted duplicate collapsed: batch saw 2x copies per fp
+    assert all(r["dup_count"] >= 2 for r in batch)
