@@ -697,6 +697,72 @@ def _q_layout_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("s.text").alias("text"))
 
 
+# Pinned samples for the deterministic NER slot (U5): ORG suffix shapes,
+# both institution shapes, title-list hits, gazetteer LOCs (unigram and
+# bigram), capitalized non-entities that must NOT match, and one
+# zero-entity doc.
+_NER_SAMPLES = [
+    "Worked at Acme Widgets Inc as a software engineer in New York",
+    "Graduated from University of Cape Town then joined DataCorp Ltd",
+    "Senior consultant at Keystone Group, based in Berlin, Germany",
+    "Stanford University alumni; data scientist, now in Tokyo",
+    "no entities here, just plain lowercase text about nothing",
+    "Project manager at Northwind Trading Company and Delta Analytics"
+    " LLC in Toronto",
+]
+
+
+def _q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 deterministic NER slot: ORG (company-suffix + institution
+    shapes), JOB_TITLE (reference fallback list), LOC (capitalized
+    candidates x broadcast gazetteer). DuckDB twin replays the same
+    regexes + gazetteer IN-list."""
+    from document_parser_private_spark.operators.ner import ner_extract
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sample_col(_NER_SAMPLES).alias("text")
+    )
+    out = ner_extract(d)
+    return out.select("doc_id", "entity_group",
+                      F.col("match_idx").cast("int").alias("match_idx"),
+                      "entity")
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules over the documents table: per-rule
+    verdict columns + conjunctive keep (all native codegen)."""
+    from document_parser_private_spark.operators.curation import quality_filter
+    out = quality_filter(_docs(spark, sf_dir))
+    flags = ["ok_words", "ok_word_len", "ok_symbols", "ok_stopwords",
+             "ok_bullets", "keep"]
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "stop_hits",
+        "bullet_ratio", *[F.col(c).cast("int").alias(c) for c in flags],
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket stratified sampling by lang — no
+    randomness, exactly reproducible, shuffle-free."""
+    from document_parser_private_spark.operators.curation import (
+        stratified_sample,
+    )
+    out = stratified_sample(_docs(spark, sf_dir), _SAMPLE_FRACTIONS,
+                            strata_col="lang", default_fraction=0.05)
+    return out.select("doc_id", "lang")
+
+
+def _q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup representative selection: argmax quality_score per
+    near-dup cluster (ties -> min doc_id), with member counts."""
+    from document_parser_private_spark.operators.curation import (
+        cluster_representatives,
+    )
+    return cluster_representatives(_docs(spark, sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -738,6 +804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_anonymize": _q_pii_anonymize,
         "pii_mask_text": _q_pii_mask_text,
         "layout_order": _q_layout_order,
+        "ner_entities": _q_ner_entities,
+        "quality_filter": _q_quality_filter,
+        "stratified_sample": _q_stratified_sample,
+        "cluster_representatives": _q_cluster_representatives,
     }
 
 
@@ -1582,6 +1652,129 @@ LEFT JOIN gutter g ON g.doc_id = p.doc_id
 """
 
 
+def _ner_entities_sql() -> str:
+    """DuckDB twin of _q_ner_entities: same pinned samples, the same
+    ORG/INST/TITLE regexes and LOC candidate+gazetteer chain from
+    operators/ner.py, match_idx = position in the per-group match list
+    (LOC indexes the CANDIDATE list before the gazetteer filter, exactly
+    like the Spark posexplode-then-semi-join)."""
+    from document_parser_private_spark.operators.ner import (
+        DEFAULT_GAZETTEER, INST_RE, LOC_CAND_RE, ORG_RE, TITLE_RE,
+    )
+    samples = "[" + ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _NER_SAMPLES) + "]"
+    gaz = ", ".join(f"('{p}')" for p in DEFAULT_GAZETTEER)
+    return f"""
+WITH gaz(place) AS (VALUES {gaz}),
+d AS (
+  SELECT doc_id,
+    ({samples})[(doc_id % {len(_NER_SAMPLES)}) + 1] AS t
+  FROM documents
+), org_l AS (
+  SELECT doc_id,
+    list_concat(regexp_extract_all(t, '{ORG_RE}', 1),
+                regexp_extract_all(t, '{INST_RE}', 1)) AS lst
+  FROM d
+), title_l AS (
+  SELECT doc_id, regexp_extract_all(t, '{TITLE_RE}', 1) AS lst FROM d
+), cand_l AS (
+  SELECT doc_id, regexp_extract_all(t, '{LOC_CAND_RE}', 1) AS lst FROM d
+)
+SELECT doc_id, 'ORG' AS entity_group,
+       unnest([i - 1 for i in generate_series(1, len(lst))])::INT
+         AS match_idx,
+       unnest(lst) AS entity
+FROM org_l
+UNION ALL
+SELECT doc_id, 'JOB_TITLE',
+       unnest([i - 1 for i in generate_series(1, len(lst))])::INT,
+       unnest(lst)
+FROM title_l
+UNION ALL
+SELECT doc_id, 'LOC', match_idx, entity FROM (
+  SELECT doc_id,
+    unnest([i - 1 for i in generate_series(1, len(lst))])::INT AS match_idx,
+    unnest(lst) AS entity
+  FROM cand_l
+) WHERE entity IN (SELECT place FROM gaz)
+"""
+
+
+_QUALITY_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_WORD_SQL}')) AS words,
+    len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS stop_hits,
+    len(regexp_extract_all(text, '[^A-Za-z0-9{_TWSI}]')) AS punct,
+    greatest(length(text), 1) AS chars,
+    length(regexp_replace(text, '[{_TWSI}]+', '', 'g')) AS nonws,
+    greatest(len(string_split(text, chr(10))), 1) AS lines,
+    len(regexp_extract_all(text, '(?m)^[-*•]')) AS bullets
+  FROM documents
+), m AS (
+  SELECT doc_id, words, stop_hits,
+    round(nonws / greatest(words, 1), 6) AS mean_word_len,
+    round(punct / chars, 6) AS symbol_ratio,
+    round(bullets / lines, 6) AS bullet_ratio
+  FROM base
+)
+SELECT doc_id,
+  words::BIGINT AS n_words,
+  mean_word_len, symbol_ratio,
+  stop_hits::BIGINT AS stop_hits,
+  bullet_ratio,
+  (words >= 50 AND words <= 100000)::INT AS ok_words,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)::INT AS ok_word_len,
+  (symbol_ratio <= 0.3)::INT AS ok_symbols,
+  (stop_hits >= 2)::INT AS ok_stopwords,
+  (bullet_ratio <= 0.9)::INT AS ok_bullets,
+  (words >= 50 AND words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.3 AND stop_hits >= 2
+   AND bullet_ratio <= 0.9)::INT AS keep
+FROM m
+"""
+
+
+def _stratified_sample_sql() -> str:
+    from document_parser_private_spark.operators.curation import (
+        SAMPLE_BUCKETS,
+    )
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {f}"
+        for v, f in sorted(_SAMPLE_FRACTIONS.items())
+    ) + " ELSE 0.05 END"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+       % {SAMPLE_BUCKETS})
+      < CAST(({rate}) * {SAMPLE_BUCKETS} AS BIGINT)
+"""
+
+
+def _cluster_reps_sql() -> str:
+    """Wraps the dedup_clusters twin (its own WITH RECURSIVE lives in a
+    FROM subquery) with the quality_score expression and an argmax
+    window per cluster."""
+    quality = """round(
+      least(len(regexp_extract_all(text, '{w}')) / 100.0, 1.0) * 0.4
+      + least(len(regexp_extract_all(lower(text), '{s}')) * 5.0
+              / greatest(len(regexp_extract_all(text, '{w}')), 1), 1.0) * 0.3
+      + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9{t}]')) * 4.0
+                     / greatest(length(text), 1), 1.0)) * 0.3, 6)""".format(
+        w=_WORD_SQL, s=_STOP_PAT, t=_TWSI)
+    return f"""
+WITH q AS (SELECT doc_id, {quality} AS q FROM documents)
+SELECT cluster_id, rep_id, rep_quality, n_members FROM (
+  SELECT c.cluster_id, c.doc_id AS rep_id, q.q AS rep_quality,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.q DESC, c.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY c.cluster_id)::BIGINT AS n_members
+  FROM ({_dedup_clusters_sql()}) c JOIN q USING (doc_id)
+) WHERE rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "fuzzy_eval": _fuzzy_eval_sql(),
@@ -1715,6 +1908,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash": _MINHASH_SQL,
         "layout_order": _layout_order_sql(),
+        "ner_entities": _ner_entities_sql(),
+        "quality_filter": _QUALITY_FILTER_SQL,
+        "stratified_sample": _stratified_sample_sql(),
+        "cluster_representatives": _cluster_reps_sql(),
         "minhash_candidates": _MINHASH_CANDIDATES_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "jaccard_on_candidates": _minhash_ctes(src="reps", pre=_REPS_PRE)

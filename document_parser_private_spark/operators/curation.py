@@ -1,0 +1,148 @@
+"""Training-data curation operators: quality-rule filtering, deterministic
+stratified sampling, and per-cluster representative selection.
+
+These are the steps a large-scale pretraining pipeline runs AFTER
+extraction and dedup to turn a raw corpus into a training mix. All three
+are pure composition over native columns — whole-stage codegen, no
+Python, and each has a driver query with a full DuckDB hash oracle.
+
+Scale shape:
+  - quality_filter: narrow map, zero shuffles; filters push to the scan
+    when used as a WHERE.
+  - stratified_sample: narrow map on a hash of the key — deterministic
+    (same corpus -> same sample, resumable re-runs pick identical rows)
+    and skew-free (no per-stratum shuffle; rates applied row-local).
+  - cluster_representatives: dedup_clusters (LSH-bounded) + one window
+    over (cluster_id) — the window partitions by cluster, and near-dup
+    clusters are small by construction (star-linked buckets), so no hot
+    partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters
+from .textstats import (
+    PUNCT_RE,
+    STOPWORDS_EN,
+    TOKEN_WS_INNER,
+    _hits,
+    quality_score_col,
+    token_count_col,
+)
+
+# Gopher-style rule defaults (Rae et al. 2021, §A1.1-flavored bounds)
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.3
+MIN_STOP_HITS = 2
+MAX_BULLET_RATIO = 0.9
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules as named boolean columns plus
+    the conjunctive `keep`. Emitting per-rule verdicts (not just `keep`)
+    is deliberate: corpus curation wants the rejection histogram."""
+    t = F.col(text_col)
+    words = token_count_col(t).cast("double")
+    w = F.greatest(words, F.lit(1.0))
+    nonws_chars = F.length(
+        F.regexp_replace(t, f"[{TOKEN_WS_INNER}]+", "")).cast("double")
+    chars = F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), F.lit(0))) \
+        .cast("double")
+    stop_hits = _hits(t, STOPWORDS_EN).cast("double")
+    lines = F.greatest(F.size(F.split(t, "\n", -1)).cast("double"),
+                       F.lit(1.0))
+    bullet_lines = F.size(
+        F.regexp_extract_all(t, F.lit(r"(?m)^[-*•]"), F.lit(0))
+    ).cast("double")
+
+    mean_wl = F.round(nonws_chars / w, 6)
+    sym_ratio = F.round(punct / chars, 6)
+    bullet_ratio = F.round(bullet_lines / lines, 6)
+    ok_words = (words >= MIN_WORDS) & (words <= MAX_WORDS)
+    ok_wl = (mean_wl >= MIN_MEAN_WORD_LEN) & (mean_wl <= MAX_MEAN_WORD_LEN)
+    ok_sym = sym_ratio <= MAX_SYMBOL_RATIO
+    ok_stop = stop_hits >= MIN_STOP_HITS
+    ok_bullet = bullet_ratio <= MAX_BULLET_RATIO
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        bullet_ratio.alias("bullet_ratio"),
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        ok_bullet.alias("ok_bullets"),
+        (ok_words & ok_wl & ok_sym & ok_stop & ok_bullet).alias("keep"),
+    )
+
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_bucket_col(key: Column) -> Column:
+    """Deterministic [0, SAMPLE_BUCKETS) bucket from md5 of the key —
+    portable to the DuckDB twin (same first-8-hex arithmetic as the
+    minhash base hash)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(SAMPLE_BUCKETS),
+    )
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, key_col: str = "doc_id",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Keep each row iff its deterministic hash bucket falls below the
+    stratum's rate: per-stratum downsampling with NO shuffle, NO
+    randomness, and exact reproducibility across re-runs/resumes (the
+    property a checkpointed 100 TB curation job needs — rerunning a
+    partition keeps identical rows). `fractions` maps stratum value ->
+    keep fraction; unlisted strata use default_fraction."""
+    rate = F.lit(default_fraction)
+    for val, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == val, F.lit(frac)).otherwise(rate)
+    return df.where(
+        sample_bucket_col(F.col(key_col))
+        < (rate * SAMPLE_BUCKETS).cast("long")
+    )
+
+
+def cluster_representatives(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.5) -> DataFrame:
+    """One representative per near-dup cluster: the member with the
+    highest quality_score (ties -> smallest id). The canonical post-dedup
+    step — emit (cluster_id, rep_id, rep_quality, n_members) so the
+    pipeline keeps the best copy and the drop count per cluster."""
+    clusters = dedup_clusters(df, id_col=id_col, text_col=text_col,
+                              threshold=threshold)
+    q = df.select(F.col(id_col),
+                  quality_score_col(F.col(text_col)).alias("q"))
+    joined = clusters.join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc(id_col))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id"),
+            F.col(id_col).alias("rep_id"),
+            F.col("q").alias("rep_quality"),
+            F.col("n_members"),
+        )
+    )
