@@ -763,6 +763,69 @@ def _q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fractions + dominant
+    bigram share) over documents with injected line repetition so every
+    signal has non-trivial values."""
+    from document_parser_private_spark.operators.trainprep import (
+        repetition_stats,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 100),
+            F.substring("text", 1, 100),
+            F.substring("text", 101, 150),
+        ).alias("text"),
+    )
+    return repetition_stats(d)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination check: 8-token-gram overlap vs a
+    benchmark slice carved from every 97th document (guaranteed hits
+    for those docs, misses elsewhere). Benchmark gram set broadcast."""
+    from document_parser_private_spark.operators.trainprep import (
+        decontaminate,
+    )
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+        F.substring("text", 41, 400).alias("text")
+    )
+    out = decontaminate(d, bench, n=8)
+    return out.select(
+        "doc_id", "n_hits",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token windows, 16 overlap) — training
+    sequence prep; zero-shuffle explode of bound token arrays."""
+    from document_parser_private_spark.operators.trainprep import (
+        chunk_documents,
+    )
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64,
+                           overlap=16)
+
+
+def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the same user's most
+    recent purchase at-or-before it (union + one window per user_id —
+    single shuffle, no range explosion). NULL columns where the user
+    has no prior purchase."""
+    from document_parser_private_spark.operators.asof import asof_join
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    return asof_join(clicks, purchases, on=["user_id"],
+                     left_ts="ts", right_ts="ts",
+                     right_cols=["event_id", "value"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -808,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "stratified_sample": _q_stratified_sample,
         "cluster_representatives": _q_cluster_representatives,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
+        "chunk_documents": _q_chunk_documents,
+        "event_asof": _q_event_asof,
     }
 
 
@@ -1775,8 +1842,127 @@ SELECT cluster_id, rep_id, rep_quality, n_members FROM (
 """
 
 
+_REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    substr(text, 1, 100) || chr(10) || substr(text, 1, 100)
+      || chr(10) || substr(text, 101, 150) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+  ) WHERE length(line) > 0
+), pl AS (
+  SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2
+), ls AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+    sum(cnt * length(line)) AS chars_all,
+    sum(length(line)) AS chars_distinct
+  FROM pl GROUP BY 1
+), w AS (
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS toks FROM d
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN [toks[i] || ' ' || toks[i + 1]
+               for i in generate_series(1, len(toks) - 1)]
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM w
+), pg AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+), gs AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_cnt, n_bigrams FROM (
+    SELECT doc_id, gram, cnt,
+      sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY cnt DESC, gram ASC) AS rn
+    FROM pg
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+  coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+  round((coalesce(ls.n_lines, 0) - coalesce(ls.n_distinct, 0))
+        / greatest(coalesce(ls.n_lines, 0), 1), 6) AS dup_line_frac,
+  round((coalesce(ls.chars_all, 0) - coalesce(ls.chars_distinct, 0))
+        / greatest(coalesce(ls.chars_all, 0), 1), 6) AS dup_line_char_frac,
+  coalesce(gs.top_bigram, '') AS top_bigram,
+  round(coalesce(gs.top_cnt, 0)
+        / greatest(coalesce(gs.n_bigrams, 0), 1), 6) AS top_bigram_frac
+FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+
+_GRAM8_SQL = ("[md5(array_to_string(toks[i:i + 7], ' '))"
+              " for i in generate_series(1, len(toks) - 7)]")
+
+_DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT substr(text, 41, 400) AS text FROM documents WHERE doc_id % 97 = 0
+), bw AS (
+  SELECT regexp_extract_all(text, '{_WORD_SQL}') AS toks FROM bench
+), bg AS (
+  SELECT DISTINCT gh FROM (
+    SELECT unnest(CASE WHEN len(toks) >= 8 THEN {_GRAM8_SQL}
+                       ELSE CAST([] AS VARCHAR[]) END) AS gh
+    FROM bw)
+), dw AS (
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS toks
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, gh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN {_GRAM8_SQL}
+                               ELSE CAST([] AS VARCHAR[]) END) AS gh
+    FROM dw)
+), h AS (
+  SELECT doc_id, count(*) AS n_hits FROM dg JOIN bg USING (gh) GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  (coalesce(h.n_hits, 0) > 0)::INT AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM w WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, toks,
+    CASE WHEN n <= 64 THEN 0
+         ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END AS kmax
+  FROM n
+), e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, kmax)) AS i FROM c
+)
+SELECT doc_id,
+  i::BIGINT AS chunk_idx,
+  len(toks[i * 48 + 1 : i * 48 + 64])::BIGINT AS n_tokens,
+  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+FROM e
+"""
+
+_EVENT_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+  m.ts AS m_ts, m.event_id AS m_event_id, m.value AS m_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+LEFT JOIN LATERAL (
+  SELECT p.ts, p.event_id, p.value
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = l.user_id
+    AND p.ts <= l.ts
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) m ON TRUE
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "repetition_stats": _REPETITION_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "chunk_documents": _CHUNK_SQL,
+        "event_asof": _EVENT_ASOF_SQL,
         "fuzzy_eval": _fuzzy_eval_sql(),
         "skill_normalize_join": _skill_join_sql(),
         "resume_entities": _resume_entities_sql(),

@@ -1,0 +1,239 @@
+"""Training-data preparation operators: repetition signals,
+benchmark decontamination, and token-window chunking.
+
+These cover the remaining curation steps a pretraining pipeline runs
+between dedup and tokenization (reference scope: the corpus-level
+analytics the reference's pipeline feeds its training exporter;
+quality/sampling live in operators/curation.py):
+
+  repetition_stats  — Gopher-style repetition signals (Rae et al. 2021
+                      §A1.1): duplicate-line fraction, duplicate-line
+                      character fraction, and the most frequent token
+                      bigram with its share of all bigrams. Repetitious
+                      documents are the strongest single predictor of
+                      low-quality web text.
+  decontaminate     — n-gram overlap against a benchmark/eval table
+                      (the standard train-test contamination check):
+                      a document is contaminated when it shares any
+                      token n-gram with any benchmark sample.
+  chunk_documents   — split each document into fixed-size token windows
+                      with overlap (context-window packing prep).
+
+Scale shape (100 TB posture):
+  - repetition_stats: explode -> two-level codegen aggregation, keys
+    prefixed by doc_id so partial aggregation collapses each doc's
+    lines/bigrams map-side; no cross-doc data movement. The explicit
+    explode+agg form is deliberate — HOF aggregate() trees are
+    interpreted per element (PLANS.md §5), codegen SUM/COUNT are not.
+  - decontaminate: the benchmark side is grams-distinct and BROADCAST
+    (benchmarks are tiny relative to the corpus); the corpus side is a
+    narrow explode -> broadcast-hash semi-join -> one doc_id-keyed
+    count. No corpus-sized shuffle.
+  - chunk_documents: zero shuffles — tokens are bound ONCE per row
+    (functions/bind.bind_once, avoiding the per-element re-eval cliff),
+    chunk structs are built in a single transform(), and the explode
+    emits each chunk's tokens exactly once (no per-chunk duplication of
+    the full token array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.bind import bind_once
+from .textstats import WORD_RE
+
+__all__ = ["repetition_stats", "decontaminate", "chunk_documents"]
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals.
+
+    Emits, per doc:
+      n_lines             — count of non-empty lines
+      dup_line_frac       — (n_lines - distinct_lines) / n_lines
+      dup_line_char_frac  — chars in repeated line occurrences beyond
+                            the first, over all line chars
+      top_bigram          — most frequent token bigram (ties -> the
+                            lexicographically smallest), '' if < 2 tokens
+      top_bigram_frac     — occurrences(top_bigram) / total bigrams
+
+    Docs with no non-empty lines get zeros ('' for top_bigram).
+    """
+    did = F.col(id_col)
+    t = F.col(text_col)
+
+    # --- duplicate-line signals: explode non-empty lines, count per
+    # (doc, line), then per-doc sums. Both groupBys partially aggregate
+    # map-side; keys are doc_id-prefixed so no skew beyond doc skew.
+    lines = df.select(
+        did,
+        F.explode(
+            F.filter(F.split(t, "\n", -1), lambda x: F.length(x) > 0)
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(did, F.col("line")).agg(
+        F.count("*").alias("cnt")
+    )
+    line_stats = per_line.groupBy(did).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.length("line")).alias("chars_all"),
+        F.sum(F.length("line")).alias("chars_distinct"),
+    )
+
+    # --- top-bigram signal: token bigrams via one bound tokenization,
+    # count per (doc, gram), argmax via min(struct(-cnt, gram)).
+    grams = df.select(
+        did,
+        F.explode(
+            bind_once(
+                F.regexp_extract_all(t, F.lit(WORD_RE), F.lit(0)),
+                lambda toks: F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i),
+                            F.element_at(toks, i + 1)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(did, F.col("gram")).agg(
+        F.count("*").alias("cnt")
+    )
+    gram_stats = per_gram.groupBy(did).agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"),
+                       F.col("gram").alias("gram"))).alias("top"),
+        F.sum("cnt").alias("n_bigrams"),
+    ).select(
+        did,
+        F.col("top.gram").alias("top_bigram"),
+        (-F.col("top.neg")).alias("top_cnt"),
+        F.col("n_bigrams"),
+    )
+
+    base = df.select(did)
+    out = (
+        base.join(line_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
+    )
+    nl = F.coalesce(F.col("n_lines"), F.lit(0)).cast("long")
+    ca = F.coalesce(F.col("chars_all"), F.lit(0)).cast("double")
+    return out.select(
+        did,
+        nl.alias("n_lines"),
+        F.round(
+            (nl - F.coalesce(F.col("n_distinct"), F.lit(0))).cast("double")
+            / F.greatest(nl.cast("double"), F.lit(1.0)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (ca - F.coalesce(F.col("chars_distinct"), F.lit(0)))
+            / F.greatest(ca, F.lit(1.0)), 6
+        ).alias("dup_line_char_frac"),
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        F.round(
+            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0))
+                         .cast("double"), F.lit(1.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def _gram_hashes(text_col, n: int):
+    """md5 hashes of the text's token n-grams (ASCII token contract,
+    space-joined). Tokens are bound once; the per-gram work inside the
+    transform touches only the bound lambda variable."""
+    return bind_once(
+        F.regexp_extract_all(text_col, F.lit(WORD_RE), F.lit(0)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Train-test contamination check: per corpus document, the number
+    of distinct token n-grams it shares with ANY benchmark sample, plus
+    the boolean verdict. Filter `WHERE NOT contaminated` (or join back)
+    to decontaminate a training corpus against an eval set.
+
+    The benchmark gram set is deduplicated and broadcast — the corpus
+    side never shuffles its text, only (doc_id, gram-hash) pairs into a
+    doc_id-keyed count."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("gh")
+        ).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_gram_hashes(F.col(text_col), n))
+        ).alias("gh"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return df.select(F.col(id_col)).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (training-sequence prep). Chunk i covers tokens
+    [i*step, i*step + chunk_tokens) with step = chunk_tokens - overlap;
+    the last chunk may be short but is never empty; docs with zero
+    tokens emit zero chunks. chunk_text is the space-joined token
+    window (whitespace-normalized by construction).
+
+    Zero shuffles: tokens bind once per row, chunks materialize through
+    a single transform + explode.
+    """
+    assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk_tokens"
+    step = chunk_tokens - overlap
+    chunk_structs = bind_once(
+        F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0)),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.when(F.size(toks) <= chunk_tokens, F.lit(0)).otherwise(
+                    F.ceil(
+                        (F.size(toks) - F.lit(chunk_tokens)).cast("double")
+                        / F.lit(float(step))
+                    )
+                ).cast("int"),
+            ),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.slice(toks, i * step + 1, chunk_tokens).alias("ctoks"),
+            ),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(chunk_structs).alias("c"))
+        .where(F.size("c.ctoks") > 0)
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.ctoks").cast("long").alias("n_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
