@@ -99,6 +99,8 @@ def main() -> None:
         "exact_dedup", "cosine_topk", "ivf_topk", "lsh_buckets",
         "eval_metrics", "lineitem_agg", "region_revenue",
         "event_sessions", "token_histogram", "skill_normalize_join",
+        "repetition_stats", "decontaminate", "chunk_documents",
+        "event_asof",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 
