@@ -826,6 +826,38 @@ def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                      right_cols=["event_id", "value"])
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style embedding dedup: hyperplane-LSH buckets, in-bucket
+    cosine >= 0.2, drop everything with a lower-id similar neighbor
+    (dup_of = that neighbor; keepers are each group's min id)."""
+    from document_parser_private_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    out = semantic_dedup(_emb(spark, sf_dir), threshold=0.2)
+    return out.select(
+        "vec_id", F.col("keep").cast("int").alias("keep"), "dup_of",
+    )
+
+
+def _q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup screen: a shifted-id copy of documents (the
+    'new' corpus) checked against every 7th document (the 'reference'
+    corpus) — every 7th new doc matches its identity twin, plus genuine
+    near-dups; both sides exact-collapse before banding."""
+    from document_parser_private_spark.operators.dedup import (
+        cross_corpus_dedup,
+    )
+    d = _docs(spark, sf_dir)
+    new = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    ref = d.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0) \
+        .select("doc_id", "text")
+    out = cross_corpus_dedup(new, ref, threshold=0.5)
+    return out.select(
+        "doc_id", "n_ref_matches", "ref_id",
+        F.col("is_dup").cast("int").alias("is_dup"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -875,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "chunk_documents": _q_chunk_documents,
         "event_asof": _q_event_asof,
+        "semantic_dedup": _q_semantic_dedup,
+        "cross_corpus_dedup": _q_cross_corpus_dedup,
     }
 
 
@@ -1957,8 +1991,130 @@ LEFT JOIN LATERAL (
 """
 
 
+# In-bucket cosine, same rounding as the Spark side (cosine_col).
+_COS_XY_SQL = """round(
+      list_sum([x.vec[i] * y.vec[i] for i in generate_series(1, len(x.vec))])
+      / (sqrt(list_sum([v * v for v in x.vec]))
+         * sqrt(list_sum([v * v for v in y.vec]))), 6)"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), b AS (
+  SELECT vec_id, vec,
+    array_to_string(
+      [CASE WHEN list_sum(
+          [vec[j + 1] * (CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN 1.0 ELSE -1.0 END)
+           for j in generate_series(0, 63)]) > 0
+       THEN '1' ELSE '0' END for p in generate_series(0, 7)], '') AS bucket
+  FROM e
+), p AS (
+  SELECT y.vec_id AS vec_id, x.vec_id AS other
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE {_COS_XY_SQL} >= 0.2
+), d AS (
+  SELECT vec_id, min(other) AS dup_of FROM p GROUP BY 1
+)
+SELECT e.vec_id,
+  (d.dup_of IS NULL)::INT AS keep,
+  d.dup_of
+FROM e LEFT JOIN d USING (vec_id)
+"""
+
+
+def _cross_corpus_sql() -> str:
+    """Twin of cross_corpus_dedup over the shifted-copy construction:
+    both corpora exact-collapse to fingerprint representatives, one
+    shared minhash/band chain keyed by (side, doc_id), band-equality
+    candidates across sides, exact token Jaccard, verdicts propagated
+    back to members by fingerprint with reference group sizes summed."""
+    from document_parser_private_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_P,
+    )
+    a = ", ".join(str(x) for x in MINHASH_A)
+    b = ", ".join(str(x) for x in MINHASH_B)
+    return f"""
+WITH consts AS (
+  SELECT [{a}] AS pa, [{b}] AS pb
+), newsrc AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+), refsrc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+), nreps AS (
+  SELECT md5(text) AS fp, min(doc_id) AS doc_id, min(text) AS text
+  FROM newsrc GROUP BY 1
+), rreps AS (
+  SELECT md5(text) AS fp, min(doc_id) AS doc_id, min(text) AS text,
+         count(*) AS n_dups
+  FROM refsrc GROUP BY 1
+), allreps AS (
+  SELECT 'n' AS side, doc_id, text FROM nreps
+  UNION ALL
+  SELECT 'r' AS side, doc_id, text FROM rreps
+), words AS (
+  SELECT side, doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS w
+  FROM allreps
+), sh AS (
+  SELECT side, doc_id,
+    CASE WHEN len(w) >= 3
+         THEN [array_to_string(w[i:i+2], ' ')
+               for i in generate_series(1, len(w) - 2)]
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM words
+), hs AS (
+  SELECT side, doc_id,
+    [CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {MINHASH_P}
+     for s in shingles] AS hh
+  FROM sh
+), sig AS (
+  SELECT side, doc_id,
+    [list_min([(pa[i+1] * h + pb[i+1]) % {MINHASH_P} for h in hh])
+     for i in generate_series(0, 15)] AS sig
+  FROM hs, consts
+), bands AS (
+  SELECT side, doc_id, t.b AS band_idx,
+    md5(sig[2*t.b+1]::VARCHAR || ',' || sig[2*t.b+2]::VARCHAR) AS band_key
+  FROM sig, generate_series(0, 7) AS t(b)
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+  FROM bands n JOIN bands r
+    ON n.band_idx = r.band_idx AND n.band_key = r.band_key
+  WHERE n.side = 'n' AND r.side = 'r'
+), toks AS (
+  SELECT side, doc_id,
+    list_distinct(regexp_extract_all(text, '{_WORD_SQL}')) AS tok
+  FROM allreps
+), jac AS (
+  SELECT c.new_id, c.ref_id
+  FROM cand c
+  JOIN toks ta ON ta.side = 'n' AND ta.doc_id = c.new_id
+  JOIN toks tb ON tb.side = 'r' AND tb.doc_id = c.ref_id
+  WHERE round(len(list_intersect(ta.tok, tb.tok))::DOUBLE
+        / greatest(len(ta.tok) + len(tb.tok)
+                   - len(list_intersect(ta.tok, tb.tok)), 1)::DOUBLE,
+        6) >= 0.5
+), m AS (
+  SELECT j.new_id, sum(r.n_dups) AS n_ref_matches,
+         min(j.ref_id) AS ref_id
+  FROM jac j JOIN rreps r ON r.doc_id = j.ref_id
+  GROUP BY 1
+), v AS (
+  SELECT nr.fp, coalesce(m.n_ref_matches, 0)::BIGINT AS n_ref_matches,
+         m.ref_id
+  FROM nreps nr LEFT JOIN m ON m.new_id = nr.doc_id
+)
+SELECT ns.doc_id, v.n_ref_matches, v.ref_id,
+  (v.ref_id IS NOT NULL)::INT AS is_dup
+FROM newsrc ns JOIN v ON md5(ns.text) = v.fp
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "cross_corpus_dedup": _cross_corpus_sql(),
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

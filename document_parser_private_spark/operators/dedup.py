@@ -548,3 +548,90 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
         )
     finally:
         edges.unpersist(blocking=False)
+
+
+def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame,
+                       threshold: float = 0.5, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Dedupe a NEW corpus against an existing REFERENCE corpus (the
+    "is this already in my training set" screen): per new document,
+    how many reference documents are near-dups (token Jaccard >=
+    threshold among MinHash-band candidates), the smallest matching
+    reference id, and the drop verdict.
+
+    Returns one row per new_df row: (id_col, n_ref_matches, ref_id,
+    is_dup) with ref_id NULL when clean.
+
+    Scale shape (mirrors the guarded within-corpus path,
+    minhash_candidates): BOTH sides pre-collapse to one representative
+    per distinct md5(text) before banding, so exact-duplicate floods
+    (the common case: boilerplate pages repeated millions of times)
+    cost one signature each and can't blow up the band join; verdicts
+    propagate back to members by fingerprint (identical text => identical
+    Jaccard, so the collapse is exact, not approximate). n_ref_matches
+    counts reference DOCS, not fingerprints (group sizes are summed).
+    The band join shuffles only (band_idx, band_key, id); tokenization
+    is semi-join-pruned to candidate representatives only.
+    """
+    fp = F.md5(F.col(text_col)).alias("fp")
+    nreps = new_df.groupBy(fp).agg(
+        F.min(id_col).alias("new_id"), F.min(text_col).alias(text_col))
+    rreps = ref_df.groupBy(fp).agg(
+        F.min(id_col).alias("ref_id"), F.min(text_col).alias(text_col),
+        F.count("*").alias("n_dups"))
+
+    nb = minhash_bands_agg(nreps.select(F.col("new_id").alias(id_col),
+                                        text_col),
+                           text_col=text_col, id_col=id_col) \
+        .withColumnRenamed(id_col, "new_id")
+    rb = minhash_bands_agg(rreps.select(F.col("ref_id").alias(id_col),
+                                        text_col),
+                           text_col=text_col, id_col=id_col) \
+        .withColumnRenamed(id_col, "ref_id")
+    cand = nb.join(rb, ["band_idx", "band_key"]) \
+        .select("new_id", "ref_id").distinct()
+
+    ntok = nreps.join(cand.select("new_id"), "new_id", "left_semi") \
+        .select(
+            F.col("new_id"),
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
+                                     F.lit(0))
+            ).alias("tok_n"),
+        )
+    rtok = rreps.join(cand.select("ref_id"), "ref_id", "left_semi") \
+        .select(
+            F.col("ref_id"),
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
+                                     F.lit(0))
+            ).alias("tok_r"),
+        )
+    jac = (
+        cand.join(ntok, "new_id").join(rtok, "ref_id")
+        .select(
+            "new_id", "ref_id",
+            jaccard_token_col(F.col("tok_n"), F.col("tok_r"))
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    matches = jac.join(rreps.select("ref_id", "n_dups"), "ref_id") \
+        .groupBy("new_id").agg(
+            F.sum("n_dups").alias("n_ref_matches"),
+            F.min("ref_id").alias("ref_id"),
+        )
+    verdict = nreps.select("fp", "new_id") \
+        .join(matches, "new_id", "left").select(
+            "fp",
+            F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("long")
+            .alias("n_ref_matches"),
+            F.col("ref_id"),
+        )
+    return new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp")) \
+        .join(verdict, "fp").select(
+            F.col(id_col),
+            F.col("n_ref_matches"),
+            F.col("ref_id"),
+            F.col("ref_id").isNotNull().alias("is_dup"),
+        )

@@ -241,3 +241,45 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
         .select("query_id", "neighbor_id", "cosine",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.2,
+                   dim: int = 64, n_planes: int = N_PLANES,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDedup-style embedding dedup (Abbas et al. 2023): bucket vectors
+    by hyperplane LSH, compute exact cosine only within buckets, and drop
+    every vector that has a LOWER-id in-bucket neighbor with cosine >=
+    threshold. Emits every input id with (keep, dup_of) where dup_of is
+    the smallest such neighbor (NULL when kept) — the keeper of each
+    semantic group is its min id, so the op is deterministic and
+    idempotent.
+
+    Scale shape: per-row native signature, equi-join on bucket, pairwise
+    cosine restricted to buckets (like embedding_near_dups); a hot bucket
+    is quadratic in its size, so at larger corpora raise n_planes (each
+    plane halves expected bucket occupancy) — the LSH-recall/cost
+    trade-off is the operator's contract, mirroring the reference's
+    cluster-then-prune semantics rather than all-pairs.
+    """
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("bucket", lsh_bucket_col(F.col("vec"), dim, n_planes))
+    a = e.select(F.col(id_col).alias("other"),
+                 F.col("vec").alias("vec_a"), "bucket")
+    b = e.select(F.col(id_col), F.col("vec").alias("vec_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("other") < F.col(id_col))
+        .select(
+            F.col(id_col), F.col("other"),
+            cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    dup = pairs.groupBy(id_col).agg(F.min("other").alias("dup_of"))
+    return emb.select(F.col(id_col)).join(dup, id_col, "left").select(
+        F.col(id_col),
+        F.col("dup_of").isNull().alias("keep"),
+        F.col("dup_of"),
+    )
