@@ -858,6 +858,75 @@ def _q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token estimate per source
+    (md5 registers, m=256), joined against the exact count so the
+    oracle verifies both the sketch arithmetic and its error. The
+    sketch shuffles <= 256 rows per group regardless of cardinality —
+    the 100 TB replacement for count(distinct)."""
+    from document_parser_private_spark.operators.sketch import hll_distinct
+    from document_parser_private_spark.operators.textstats import WORD_RE
+    tok = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
+        ).alias("token"),
+    )
+    est = hll_distinct(tok, ["source"], "token")
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "hll_estimate",
+        "hll_registers",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal over documents with injected
+    corpus-wide footers (one shared by all docs, one shared by each
+    doc_id%3 cohort) plus a per-doc unique 'ref N' line that must
+    survive. Output text is md5'd to keep the oracle compare light."""
+    from document_parser_private_spark.operators.curation import (
+        strip_boilerplate,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter"),
+            F.lit("\nCopyright Example Corp "),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit("\nref "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(d, min_docs=10)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _q_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document over the raw corpus — pure
+    codegen tf/df aggregations, 1-row broadcast for corpus stats,
+    doc-key window for top-k."""
+    from document_parser_private_spark.operators.ranking import (
+        bm25_top_terms,
+    )
+    return bm25_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -909,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": _q_event_asof,
         "semantic_dedup": _q_semantic_dedup,
         "cross_corpus_dedup": _q_cross_corpus_dedup,
+        "hll_distinct": _q_hll_distinct,
+        "bm25_terms": _q_bm25_terms,
+        "strip_boilerplate": _q_strip_boilerplate,
     }
 
 
@@ -2111,10 +2183,137 @@ FROM newsrc ns JOIN v ON md5(ns.text) = v.fp
 """
 
 
+from document_parser_private_spark.operators.sketch import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+)
+
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M)
+
+_HLL_DISTINCT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '{_WORD_SQL}')) AS token
+  FROM documents
+), r AS (
+  SELECT source,
+    CAST('0x' || substr(md5(token), 1, 2) AS BIGINT) AS reg,
+    CAST('0x' || substr(md5(token), 3, 15) AS BIGINT) AS v
+  FROM tok
+), rk AS (
+  SELECT source, reg,
+    max(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS m_j
+  FROM r GROUP BY 1, 2
+), mg AS (
+  SELECT source, sum(pow(2.0, -m_j)) AS s_present, count(*) AS present
+  FROM rk GROUP BY 1
+), e0 AS (
+  SELECT source, present,
+    {_HLL_NUM} / (s_present + (256.0 - present)) AS e_raw,
+    256.0 - present AS zeros
+  FROM mg
+), est AS (
+  SELECT source,
+    round(CASE WHEN e_raw <= 640.0 AND zeros > 0
+               THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END, 4)
+      AS hll_estimate,
+    CAST(present AS BIGINT) AS hll_registers
+  FROM e0
+), ex AS (
+  SELECT source, count(DISTINCT token) AS n_exact FROM tok GROUP BY 1
+)
+SELECT est.source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+  est.hll_estimate, est.hll_registers,
+  round(abs(est.hll_estimate - ex.n_exact) / ex.n_exact, 4) AS rel_err
+FROM est JOIN ex ON est.source = ex.source
+"""
+
+
+from document_parser_private_spark.operators.ranking import (  # noqa: E402
+    BM25_B as _BM25_B,
+    BM25_K1 as _BM25_K1,
+)
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS term
+  FROM documents
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT id, sum(tf) AS dl FROM tf GROUP BY 1
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.id, tf.term, tf.tf,
+    round(
+      ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        * (tf.tf * {repr(_BM25_K1 + 1.0)})
+        / (tf.tf + {repr(_BM25_K1)}
+           * ({repr(1.0 - _BM25_B)}
+              + {repr(_BM25_B)} * dl.dl / stats.avgdl)),
+      6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (id)
+  CROSS JOIN stats
+), ranked AS (
+  SELECT id, term, tf, score,
+    row_number() OVER (PARTITION BY id
+                       ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+  CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+_STRIP_BOILERPLATE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    text || chr(10) || 'Subscribe to our newsletter'
+         || chr(10) || 'Copyright Example Corp ' || (doc_id % 3)::VARCHAR
+         || chr(10) || 'ref ' || doc_id::VARCHAR AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM d
+), l AS (
+  SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos,
+         unnest(parts) AS line
+  FROM p
+), bp AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM l
+    WHERE length(line) > 0 GROUP BY 1
+  ) WHERE nd >= 10
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN bp ON l.line = bp.line
+  WHERE bp.line IS NULL
+), r AS (
+  SELECT doc_id,
+    array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT p.doc_id,
+  len(p.parts)::BIGINT AS n_lines,
+  (len(p.parts) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+  md5(coalesce(r.clean_text, '')) AS clean_md5
+FROM p LEFT JOIN r USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "cross_corpus_dedup": _cross_corpus_sql(),
+        "hll_distinct": _HLL_DISTINCT_SQL,
+        "bm25_terms": _BM25_SQL,
+        "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

@@ -119,6 +119,65 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     )
 
 
+def strip_boilerplate(df: DataFrame, min_docs: int = 10,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """C4-style corpus-level boilerplate-line removal: any non-empty
+    line appearing verbatim in >= min_docs DISTINCT documents (cookie
+    banners, nav bars, copyright footers) is stripped from every
+    document; per-doc unique lines always survive.
+
+    Two-pass shape, both passes scale-safe:
+      1. line -> distinct-doc count (one shuffle on the line; map-side
+         partial distinct keeps hot lines from flooding the exchange),
+         thresholded to the boilerplate dictionary — SMALL by
+         construction (only lines repeated across >= min_docs docs).
+      2. broadcast LEFT ANTI join per line + one doc-keyed regroup to
+         rebuild text in original line order.
+    Docs whose every line is boilerplate come back with clean_text ''
+    (left join against the input keeps the row).
+
+    Returns (id, n_lines, n_removed, clean_text).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    )
+    bp = (
+        lines.where(F.length("line") > 0)
+        .groupBy("line")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(bp), "line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n", -1)).cast("long")
+    return (
+        df.select(F.col(id_col).alias("_id"), n_lines.alias("n_lines"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def cluster_representatives(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             threshold: float = 0.5) -> DataFrame:

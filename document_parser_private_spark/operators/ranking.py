@@ -1,0 +1,99 @@
+"""Corpus term-ranking operators: TF-IDF / BM25 scoring and per-doc
+top terms.
+
+Classic lexical relevance over the documents table, expressed as pure
+codegen aggregations so the whole thing stays JVM-side:
+
+  tf(d, t)  — term frequency, one shuffle keyed (doc, term) with
+              map-side partial counts;
+  df(t)     — document frequency, one shuffle keyed (term) over the
+              already-collapsed (doc, term) pairs (never raw tokens);
+  idf(t)    — BM25's ln(1 + (N - df + 0.5) / (df + 0.5)), always > 0;
+  score     — idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+100 TB posture: the only join keyed on a skewed key is tf x df on
+`term`; its per-term row count is bounded by n_docs (pairs, not token
+occurrences), Zipf-head terms are exactly the AQE skew-join case, and
+the corpus-level scalar (N, avgdl) rides a 1-row broadcast. Top-k per
+doc is a window over the doc key — no global sort.
+
+All floating literals are Python-computed doubles passed verbatim to
+both engines (repr round-trips IEEE), so the DuckDB twin reproduces
+scores bit-for-bit before the final round(6).
+
+Reference scope note: the reference engine has no ranking/IR operators
+(verified); part of the beyond-reference training-data tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import WORD_RE
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25-scored terms per document (ties break on term asc).
+
+    Returns (id, term, tf, score, rnk) with score rounded to 6 after
+    ranking on the unrounded double.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    j = (
+        tf.join(dfreq, "term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    # Rank on the ROUNDED score (term asc tie-break): the last-ulp of
+    # ln() is not guaranteed identical across engines (JVM Math.log vs
+    # libm), and ranking on raw doubles would let a 1-ulp divergence
+    # flip the order of two nearly-equal terms in the oracle twin.
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        j.select(
+            "_id", "term", "tf", F.round(score, 6).alias("score")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Deterministic cardinality sketches for corpus-scale statistics.
+
+`hll_distinct` is a HyperLogLog distinct-count estimator whose every bit
+is reproducible across engines: the hash is md5 (not engine-native
+hash functions, which differ between Spark and DuckDB), the register
+index is the first 2 hex chars (m = 256 registers, p = 8), and the rank
+is the leading-zero count of the next 15 hex chars (w = 60 bits) — all
+computable with portable SQL (`conv`/hex-cast + `bin`), so the DuckDB
+oracle twin reproduces the estimate exactly, double for double.
+
+Why this exists at 100 TB: `count(distinct x)` shuffles every distinct
+value; groups with billions of distinct tokens move billions of rows.
+The sketch shuffles at most m = 256 (group, register) rows per group —
+two codegen aggregations with map-side partial max/merge, associative
+and resumable. Standard error at m = 256 is 1.04/sqrt(256) ≈ 6.5%.
+
+Parity contract (mirrored in __spark_entry__._HLL_DISTINCT_SQL):
+  h      = md5(value)
+  reg    = int(h[0:2], 16)                       -- 0..255
+  v      = int(h[2:17], 16)                      -- 60-bit
+  rank   = 61 - bitlength(v)   (v = 0 -> 61)
+  M_j    = max(rank) per (group, reg); absent registers count as 0
+  E_raw  = alpha_m * m^2 / (sum(2^-M_j) + (m - present))
+  E      = m * ln(m / zeros)  when E_raw <= 2.5 m and zeros > 0
+           else E_raw          (standard small-range correction)
+
+Reference scope note: the reference engine has no sketch operators
+(verified — no estimator code in any of its 58 files); this is part of
+the beyond-reference training-data tier the builder adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256          # registers (p = 8 -> first 2 hex chars)
+HLL_W = 60           # rank-value bit width (next 15 hex chars)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of `value_col`.
+
+    Returns one row per group with `hll_estimate` (double, rounded to 4)
+    and `hll_registers` (count of touched registers, <= 256). Exactly
+    two shuffles: (group, reg) for the register max, then (group) for
+    the harmonic merge — both carry <= m rows per group regardless of
+    input cardinality.
+    """
+    g = list(group_cols)
+    h = F.md5(F.col(value_col).cast("string"))
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
+    rank = (
+        F.when(v == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(v)))
+        .cast("int")
+    )
+    regs = (
+        df.select(
+            *g,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("_reg"),
+            rank.alias("_rank"),
+        )
+        .groupBy(*g, "_reg")
+        .agg(F.max("_rank").alias("_m_j"))
+    )
+    m = float(HLL_M)
+    merged = regs.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m_j"))).alias("_s_present"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_present"))
+    zeros = (F.lit(m) - F.col("_present")).cast("double")
+    e_raw = F.lit(HLL_ALPHA * m * m) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(e_raw)
+    return merged.select(
+        *g,
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("_present").cast("long").alias("hll_registers"),
+    )
