@@ -889,6 +889,77 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 5-iteration PageRank over a deterministic synthetic link
+    graph on documents (3 out-links per doc at (id*7+j) % N; every
+    11th doc is a dangling sink so the dangling-mass redistribution
+    path is exercised). DuckDB twin unrolls the same 5 iterations as
+    a CTE chain — full hash oracle for an iterative algorithm."""
+    from document_parser_private_spark.operators.graph import pagerank
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    src = d.where(F.pmod(F.col("doc_id"), F.lit(11)) != 0)
+    edges = src.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.col("doc_id") * 7 + j, F.lit(n))
+                    for j in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select(F.col("node").alias("doc_id"), "pagerank")
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (returnflag -> linestatus -> grand
+    total) — Spark's rollup() against DuckDB GROUP BY ROLLUP; subtotal
+    levels surface as 'ALL'. One shuffle; Spark expands grouping sets
+    map-side with partial aggregation."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of document length per source
+    (Spark SQL percentile() vs DuckDB quantile_cont — identical linear
+    interpolation). Exact percentile shuffles the group's values; for
+    the sketch-based scale path see hll_distinct's module note."""
+    d = _docs(spark, sf_dir)
+    q = d.groupBy("source").agg(
+        F.expr(
+            "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("qs"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return q.select(
+        "source",
+        F.round(F.element_at("qs", 1), 4).alias("p25"),
+        F.round(F.element_at("qs", 2), 4).alias("p50"),
+        F.round(F.element_at("qs", 3), 4).alias("p75"),
+        F.round(F.element_at("qs", 4), 4).alias("p95"),
+        "n_docs",
+    )
+
+
 def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate-line removal over documents with injected
     corpus-wide footers (one shared by all docs, one shared by each
@@ -981,6 +1052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "bm25_terms": _q_bm25_terms,
         "strip_boilerplate": _q_strip_boilerplate,
+        "revenue_rollup": _q_revenue_rollup,
+        "length_quantiles": _q_length_quantiles,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -2271,6 +2345,78 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB twin of _q_pagerank: same edge synthesis,
+    same per-iteration arithmetic shape (base + d*(inflow + dm/n)),
+    same literals — doubles match the Spark side bit-for-bit before
+    the final round(8)."""
+    from document_parser_private_spark.operators.graph import (
+        PAGERANK_DAMPING as D,
+    )
+    parts = [f"""
+WITH nn AS (
+  SELECT count(*) AS n FROM documents
+), edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 7 + j) % nn.n AS dst
+  FROM documents CROSS JOIN nn, unnest([1, 2, 3]) AS u(j)
+  WHERE doc_id % 11 <> 0
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst AS node FROM edges)
+), nc AS (
+  SELECT count(*) AS m FROM nodes
+), odeg AS (
+  SELECT src, count(*) AS o FROM edges GROUP BY 1
+), nodes_out AS (
+  SELECT n.node, coalesce(odeg.o, 0) AS out
+  FROM nodes n LEFT JOIN odeg ON n.node = odeg.src
+), r0 AS (
+  SELECT node, 1.0 / nc.m AS pr, out FROM nodes_out CROSS JOIN nc
+)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""", r{i} AS (
+  SELECT n.node,
+    (1.0 - {D!r}) / nc.m
+      + {D!r} * (coalesce(inf.inflow, 0.0) + dang.dm / nc.m) AS pr,
+    n.out
+  FROM nodes_out n
+  CROSS JOIN nc
+  CROSS JOIN (SELECT coalesce(sum(pr), 0.0) AS dm
+              FROM r{p} WHERE out = 0) dang
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / r.out) AS inflow
+    FROM edges e JOIN r{p} r ON e.src = r.node AND r.out > 0
+    GROUP BY 1
+  ) inf ON n.node = inf.node
+)""")
+    parts.append(f"""
+SELECT node AS doc_id, round(pr, 8) AS pagerank FROM r{iterations}
+""")
+    return "".join(parts)
+
+
+_REVENUE_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_LENGTH_QUANTILES_SQL = """
+SELECT source,
+  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+  round(quantile_cont(n_chars, 0.95), 4) AS p95,
+  count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY source
+"""
+
 _STRIP_BOILERPLATE_SQL = """
 WITH d AS (
   SELECT doc_id,
@@ -2314,6 +2460,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_DISTINCT_SQL,
         "bm25_terms": _BM25_SQL,
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
+        "revenue_rollup": _REVENUE_ROLLUP_SQL,
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "pagerank": _pagerank_sql(),
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

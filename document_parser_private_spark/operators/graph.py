@@ -1,0 +1,106 @@
+"""Distributed link-graph analytics: fixed-iteration PageRank.
+
+The canonical iterative-join shape, written the way it must be at
+100 TB: each iteration is ONE shuffle (contributions grouped by dst),
+the edge list is partitioned once on src and REUSED across iterations
+(persist + explicit repartition so every iteration's join is
+exchange-free on the edge side), and lineage is truncated per sweep
+(localCheckpoint) exactly as dedup_clusters does (PLANS.md §9) — an
+unchecked 10-deep loop of joins otherwise compounds planning cost and
+recovery chains.
+
+Semantics (deterministic, mirrored by the DuckDB twin's unrolled CTE
+chain):
+  pr_0(v)   = 1 / N
+  pr_i(v)   = (1 - d) / N
+              + d * ( sum over in-edges u->v of pr_{i-1}(u) / out(u)
+                      + dangling_{i-1} / N )
+where dangling is the total rank mass sitting on zero-out-degree nodes
+(redistributed uniformly — mass is conserved, sum(pr) == 1 every
+iteration). d = 0.85. Iterations are a FIXED count: deterministic
+results, no convergence-dependent plans.
+
+Reference scope note: the reference engine has no graph operators
+(verified); beyond-reference training-data tier (link-graph quality
+signals for web corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = PAGERANK_DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list.
+
+    The node set is the union of sources and destinations (duplicate
+    edges count once — the edge list is deduped first, matching the
+    relational twin). Returns (node, pagerank) with pagerank rounded
+    to 8 decimals.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # driver scalar: one number, not data
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    # ranks carries (node, pr, out); out = 0 marks dangling nodes
+    ranks = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
+        "node",
+        F.lit(1.0 / n_nodes).alias("pr"),
+        F.coalesce("out", F.lit(0)).alias("out"),
+    )
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        dangling = (
+            ranks.where(F.col("out") == 0)
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            e.join(ranks.where(F.col("out") > 0), e.src == F.col("node"))
+            .select("dst", (F.col("pr") / F.col("out")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node", "out")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dm") / n_nodes
+                    )
+                ).alias("pr"),
+                "out",
+            )
+        )
+        # Truncate lineage: keeps each sweep's plan one-join deep.
+        ranks = ranks.localCheckpoint(eager=False)
+    out = ranks.select(
+        "node", F.round("pr", 8).alias("pagerank")
+    )
+    return out
