@@ -889,6 +889,46 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index over documents: (term, df, cf, first-20
+    postings csv) for terms in >= 5 docs; the posting cap applies
+    before any aggregation buffer fills."""
+    from document_parser_private_spark.operators.ranking import (
+        inverted_index,
+    )
+    return inverted_index(_docs(spark, sf_dir), min_df=5, max_postings=20)
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM corpus self-scoring (CCNet-style quality signal):
+    train add-0.5 smoothed bigram model on documents, score each doc's
+    mean bigram log-prob + pseudo-perplexity."""
+    from document_parser_private_spark.operators.lm import lm_score
+    return lm_score(_docs(spark, sf_dir))
+
+
+def _q_part_outlier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style decorrelated aggregate: revenue from lineitems
+    whose quantity is below 0.2x their part's average quantity —
+    correlated subquery rewritten as one per-part window, then a
+    broadcast join to part for the brand rollup."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part")
+    wp = Window.partitionBy("l_partkey")
+    flt = li.withColumn("aq", F.avg("l_quantity").over(wp)).where(
+        F.col("l_quantity") < F.lit(0.2) * F.col("aq")
+    )
+    return (
+        flt.join(F.broadcast(part), flt.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .select("p_brand", "avg_yearly", "n_lines")
+    )
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 5-iteration PageRank over a deterministic synthetic link
     graph on documents (3 out-links per doc at (id*7+j) % N; every
@@ -1055,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _q_revenue_rollup,
         "length_quantiles": _q_length_quantiles,
         "pagerank": _q_pagerank,
+        "inverted_index": _q_inverted_index,
+        "lm_score": _q_lm_score,
+        "part_outlier_revenue": _q_part_outlier_revenue,
     }
 
 
@@ -2397,6 +2440,83 @@ SELECT node AS doc_id, round(pr, 8) AS pagerank FROM r{iterations}
     return "".join(parts)
 
 
+_INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1
+), capped AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tf
+  ) WHERE rn <= 20
+), postings AS (
+  SELECT term,
+    array_to_string(list(doc_id::VARCHAR ORDER BY doc_id), ',')
+      AS postings
+  FROM capped GROUP BY 1
+)
+SELECT s.term, CAST(s.df AS BIGINT) AS df, CAST(s.cf AS BIGINT) AS cf,
+  p.postings
+FROM stats s JOIN postings p ON s.term = p.term
+WHERE s.df >= 5
+"""
+
+_LM_SCORE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    unnest(toks[1:len(toks) - 1]) AS w1,
+    unnest(toks[2:len(toks)]) AS w2
+  FROM w WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM b GROUP BY 1
+), v AS (
+  SELECT count(*) AS v FROM c1
+), db AS (
+  SELECT doc_id, w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+), sc AS (
+  SELECT db.doc_id, db.cnt,
+    ln((coalesce(c2.c2, 0) + 0.5)
+       / (coalesce(c1.c1, 0) + 0.5 * v.v)) * db.cnt AS lp
+  FROM db
+  LEFT JOIN c2 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, sum(cnt) AS n_bigrams, sum(lp) AS slp FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  round(a.slp / a.n_bigrams, 6) AS avg_logp,
+  round(exp(-(a.slp / a.n_bigrams)), 4) AS ppl
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_PART_OUTLIER_SQL = """
+WITH flt AS (
+  SELECT l_partkey, l_extendedprice FROM (
+    SELECT l_partkey, l_extendedprice, l_quantity,
+      avg(l_quantity) OVER (PARTITION BY l_partkey) AS aq
+    FROM lineitem
+  ) WHERE l_quantity < 0.2 * aq
+)
+SELECT p.p_brand,
+  round(sum(f.l_extendedprice) / 7.0, 2) AS avg_yearly,
+  count(*)::BIGINT AS n_lines
+FROM flt f JOIN part p ON f.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
 _REVENUE_ROLLUP_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
   coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -2463,6 +2583,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": _REVENUE_ROLLUP_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "pagerank": _pagerank_sql(),
+        "inverted_index": _INVERTED_INDEX_SQL,
+        "lm_score": _LM_SCORE_SQL,
+        "part_outlier_revenue": _PART_OUTLIER_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

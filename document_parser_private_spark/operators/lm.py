@@ -1,0 +1,111 @@
+"""Corpus n-gram language-model scoring (CCNet-style quality signal).
+
+Trains an add-k-smoothed bigram LM on a (possibly different) reference
+corpus with one pass of codegen aggregations, then scores each document
+by its mean bigram log-probability and pseudo-perplexity:
+
+  P(w2 | w1)  = (c2(w1,w2) + k) / (c1(w1) + k * V)
+  avg_logp(d) = sum over d's bigrams of ln P / n_bigrams(d)
+  ppl(d)      = exp(-avg_logp)
+
+Low avg_logp (high ppl) = text unlike the reference corpus — the
+classic filter for boilerplate/gibberish vs in-domain prose.
+
+Scale shape: doc bigrams collapse to (doc, w1, w2, cnt) BEFORE any
+join (the per-doc distinct-bigram table, orders of magnitude smaller
+than token occurrences); the model tables are collapsed global counts
+joined on (w1, w2) and (w1) — both bounded by vocabulary size, the
+Zipf head being AQE skew-join territory; V rides a 1-row broadcast.
+Everything is whole-stage codegen — no Python.
+
+Reference scope note: the reference engine has no LM scoring
+(verified); beyond-reference training-data tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.bind import bind_once
+from .textstats import WORD_RE
+
+LM_K = 0.5  # add-k smoothing mass
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # bind_once: the tokenizer regex must run ONCE per row — referenced
+    # naively inside the transform lambda it would re-run per element
+    # (functions/bind.py, PLANS.md §5).
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+    )
+    pairs = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(t, i + 2).alias("w2")
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("bg"))
+        .select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    k: float = LM_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each doc under a bigram LM trained on `train` (defaults to
+    `docs` itself — corpus self-scoring). Returns (id, n_bigrams,
+    avg_logp round 6, ppl round 4); docs with < 2 tokens score NULL
+    avg_logp and ppl with n_bigrams = 0."""
+    train = docs if train is None else train
+    tb = _doc_bigrams(train, id_col, text_col)
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    db = (
+        _doc_bigrams(docs, id_col, text_col)
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        db.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "_id",
+            "cnt",
+            (
+                F.log(
+                    (F.coalesce("c2", F.lit(0)) + F.lit(k))
+                    / (F.coalesce("c1", F.lit(0)) + F.lit(k) * F.col("v"))
+                )
+                * F.col("cnt")
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("_id").agg(
+        F.sum("cnt").alias("n_bigrams"), F.sum("lp").alias("slp")
+    )
+    avg = F.col("slp") / F.col("n_bigrams")
+    out = (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.round(avg, 6).alias("avg_logp"),
+            F.round(F.exp(-avg), 4).alias("ppl"),
+        )
+    )
+    return out

@@ -36,6 +36,62 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 5,
+    max_postings: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build a capped inverted index: per term, document frequency,
+    collection frequency, and the first `max_postings` posting doc ids
+    (ascending, csv). Terms below `min_df` are dropped (the long tail
+    that bloats an index without serving queries).
+
+    The posting cap is applied BEFORE collect_list via a per-term
+    row_number window, so a stop-word term's postings never materialize
+    beyond max_postings rows in any aggregation buffer — the guard that
+    keeps index build safe when one term appears in billions of docs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("_id").asc())
+    capped = (
+        tf.select("term", "_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_postings)
+    )
+    postings = capped.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        stats.where(F.col("df") >= min_df)
+        .join(postings, "term")
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            "postings",
+        )
+    )
+
+
 def bm25_top_terms(
     docs: DataFrame,
     k: int = 3,
