@@ -889,6 +889,54 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: build the (4 x 1024) counter
+    table over all token occurrences, then point-query the top-20
+    tokens (by exact count) and report sketch-vs-exact. cm_count >=
+    exact always; is_exact flags collision-free cells."""
+    from document_parser_private_spark.operators.sketch import (
+        cm_estimate,
+        count_min_sketch,
+    )
+    from document_parser_private_spark.operators.textstats import WORD_RE
+    tok = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
+        ).alias("token")
+    )
+    sketch = count_min_sketch(tok, "token")
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    top = exact.orderBy(F.desc("exact"), F.asc("token")).limit(20)
+    est = cm_estimate(
+        sketch, top.select(F.col("token").alias("item")), "item"
+    )
+    return (
+        top.join(est, top.token == est.item)
+        .select(
+            "token",
+            F.col("exact").cast("long").alias("exact"),
+            "cm_count",
+            (F.col("cm_count") == F.col("exact")).cast("int").alias(
+                "is_exact"
+            ),
+        )
+    )
+
+
+def _q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order codes over (n_chars, doc_id) — the lakehouse
+    two-dimensional clustering key, bit-interleaved natively; the twin
+    re-derives the identical interleave arithmetic."""
+    from document_parser_private_spark.functions.zorder import (
+        zorder_code_col,
+    )
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        zorder_code_col(F.col("n_chars"), F.col("doc_id")).alias("zcode"),
+    )
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index over documents: (term, df, cf, first-20
     postings csv) for terms in >= 5 docs; the posting cap applies
@@ -1098,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "lm_score": _q_lm_score,
         "part_outlier_revenue": _q_part_outlier_revenue,
+        "cm_heavy_hitters": _q_cm_heavy_hitters,
+        "zorder_codes": _q_zorder_codes,
     }
 
 
@@ -2440,6 +2490,48 @@ SELECT node AS doc_id, round(pr, 8) AS pagerank FROM r{iterations}
     return "".join(parts)
 
 
+_CM_HH_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{_WORD_SQL}')) AS token
+  FROM documents
+), cells AS (
+  SELECT u.r,
+    CAST('0x' || substr(md5('cm' || u.r::VARCHAR || ':' || token), 1, 5)
+         AS BIGINT) % 1024 AS c
+  FROM tok, unnest([0, 1, 2, 3]) AS u(r)
+), sk AS (
+  SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS exact FROM tok GROUP BY 1
+), top AS (
+  SELECT token, exact FROM exact
+  ORDER BY exact DESC, token ASC LIMIT 20
+), probes AS (
+  SELECT token, exact, u.r,
+    CAST('0x' || substr(md5('cm' || u.r::VARCHAR || ':' || token), 1, 5)
+         AS BIGINT) % 1024 AS c
+  FROM top, unnest([0, 1, 2, 3]) AS u(r)
+), est AS (
+  SELECT p.token, p.exact, min(coalesce(sk.cnt, 0)) AS cm_count
+  FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.c = sk.c
+  GROUP BY 1, 2
+)
+SELECT token, CAST(exact AS BIGINT) AS exact,
+  CAST(cm_count AS BIGINT) AS cm_count,
+  (cm_count = exact)::INT AS is_exact
+FROM est
+"""
+
+
+def _zorder_sql() -> str:
+    from document_parser_private_spark.functions.zorder import zorder_sql
+    return (
+        "SELECT doc_id, CAST("
+        + zorder_sql("n_chars", "doc_id")
+        + " AS BIGINT) AS zcode FROM documents"
+    )
+
+
 _INVERTED_INDEX_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -2586,6 +2678,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "lm_score": _LM_SCORE_SQL,
         "part_outlier_revenue": _PART_OUTLIER_SQL,
+        "cm_heavy_hitters": _CM_HH_SQL,
+        "zorder_codes": _zorder_sql(),
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

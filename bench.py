@@ -101,6 +101,8 @@ def main() -> None:
         "event_sessions", "token_histogram", "skill_normalize_join",
         "repetition_stats", "decontaminate", "chunk_documents",
         "event_asof",
+        "hll_distinct", "bm25_terms", "lm_score", "pagerank",
+        "strip_boilerplate",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 

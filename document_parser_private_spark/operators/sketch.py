@@ -40,6 +40,9 @@ HLL_M = 256          # registers (p = 8 -> first 2 hex chars)
 HLL_W = 60           # rank-value bit width (next 15 hex chars)
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
+CM_DEPTH = 4         # count-min hash rows (salts "0".."3")
+CM_WIDTH = 1024      # counters per row (first 5 hex chars mod width)
+
 
 def hll_distinct(
     df: DataFrame,
@@ -88,3 +91,69 @@ def hll_distinct(
         F.round(est, 4).alias("hll_estimate"),
         F.col("_present").cast("long").alias("hll_registers"),
     )
+
+
+def _cm_col(value, row: int):
+    """Counter index of `value` in count-min row `row`: md5 of the
+    salted value, first 5 hex chars (20 bits) mod CM_WIDTH. Salting the
+    INPUT (not the output) gives CM_DEPTH independent hash functions
+    from one md5 primitive — portable to any engine with md5."""
+    h = F.md5(F.concat(F.lit(f"cm{row}:"), value.cast("string")))
+    return (
+        F.pmod(F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint"),
+               F.lit(CM_WIDTH))
+        .cast("int")
+    )
+
+
+def count_min_sketch(df: DataFrame, value_col: str) -> DataFrame:
+    """Build a count-min sketch of `value_col` occurrences: returns the
+    counter table (cm_row, cm_col, cnt) with at most CM_DEPTH*CM_WIDTH
+    rows total. One explode(DEPTH) + one shuffle on (row, col) with
+    map-side partial counts — the fixed-size frequency summary that
+    replaces a full token-count table at 100 TB (the sketch is
+    mergeable across corpus shards by summing counters)."""
+    v = F.col(value_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("cm_row"),
+                        _cm_col(v, r).alias("cm_col"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.cm_row", "c.cm_col")
+    return cells.groupBy("cm_row", "cm_col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_estimate(sketch: DataFrame, items: DataFrame,
+                item_col: str = "item") -> DataFrame:
+    """Point-query the sketch for each row of `items`: the classic
+    min-over-rows upper bound (estimate >= true count always; equality
+    unless all CM_DEPTH cells collided). The sketch side is tiny
+    (<= DEPTH*WIDTH counters) and broadcasts; items never shuffle."""
+    v = F.col(item_col)
+    probes = items.select(
+        item_col,
+        *[
+            _cm_col(v, r).alias(f"_c{r}")
+            for r in range(CM_DEPTH)
+        ],
+    )
+    out = probes
+    for r in range(CM_DEPTH):
+        side = sketch.where(F.col("cm_row") == r).select(
+            F.col("cm_col").alias(f"_c{r}"),
+            F.col("cnt").alias(f"_n{r}"),
+        )
+        out = out.join(F.broadcast(side), f"_c{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_n{r}"), F.lit(0)) for r in range(CM_DEPTH)]
+    )
+    return out.select(item_col, est.cast("long").alias("cm_count"))
