@@ -955,6 +955,30 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram count table with min-count pruning (count-based
+    LM / template-mining raw material): occurrence count + document
+    frequency per surviving gram."""
+    from document_parser_private_spark.operators.lm import ngram_counts
+    return ngram_counts(_docs(spark, sf_dir), n=3, min_count=5)
+
+
+_MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.3}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture sampling by lang: output
+    proportions match the target weights at the largest achievable
+    total (scarcest source keeps everything); md5-bucket row
+    selection, rerun-identical."""
+    from document_parser_private_spark.operators.curation import (
+        mixture_sample,
+    )
+    out = mixture_sample(_docs(spark, sf_dir), _MIXTURE_WEIGHTS,
+                         source_col="lang")
+    return out.select("doc_id", "lang")
+
+
 def _q_part_outlier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style decorrelated aggregate: revenue from lineitems
     whose quantity is below 0.2x their part's average quantity —
@@ -1145,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "inverted_index": _q_inverted_index,
         "lm_score": _q_lm_score,
+        "ngram_counts": _q_ngram_counts,
+        "mixture_sample": _q_mixture_sample,
         "part_outlier_revenue": _q_part_outlier_revenue,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "zorder_codes": _q_zorder_codes,
@@ -2594,6 +2620,48 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+_NGRAM_COUNTS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM w, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+)
+SELECT gram, count(*)::BIGINT AS n_occurrences,
+  count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM g GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+def _mixture_sample_sql() -> str:
+    from document_parser_private_spark.operators.curation import (
+        SAMPLE_BUCKETS,
+    )
+    wexpr = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {float(wt)!r}"
+        for v, wt in sorted(_MIXTURE_WEIGHTS.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH c AS (
+  SELECT lang, count(*) AS n, {wexpr} AS w
+  FROM documents GROUP BY 1
+), cw AS (
+  SELECT * FROM c WHERE w > 0
+), t AS (
+  SELECT min(n / w) AS t FROM cw
+), r AS (
+  SELECT lang, w * t.t / n AS rate FROM cw, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE (CAST('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8) AS BIGINT)
+       % {SAMPLE_BUCKETS})
+      < CAST(floor(rate * {SAMPLE_BUCKETS}) AS BIGINT)
+"""
+
+
 _PART_OUTLIER_SQL = """
 WITH flt AS (
   SELECT l_partkey, l_extendedprice FROM (
@@ -2677,6 +2745,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "inverted_index": _INVERTED_INDEX_SQL,
         "lm_score": _LM_SCORE_SQL,
+        "ngram_counts": _NGRAM_COUNTS_SQL,
+        "mixture_sample": _mixture_sample_sql(),
         "part_outlier_revenue": _PART_OUTLIER_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "zorder_codes": _zorder_sql(),

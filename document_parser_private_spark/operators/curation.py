@@ -205,3 +205,45 @@ def cluster_representatives(df: DataFrame, id_col: str = "doc_id",
             F.col("n_members"),
         )
     )
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus-mixture sampling: downsample each source so
+    the OUTPUT proportions match `weights` (DoReMi/The-Pile-style domain
+    mixing) while keeping the largest achievable total.
+
+    With n_s rows observed for source s and target weight w_s, the
+    largest total T with w_s*T <= n_s for every weighted source is
+    T = min_s(n_s / w_s); each source keeps rate_s = w_s * T / n_s
+    (<= 1 by construction — the scarcest source keeps everything).
+    Rows whose source has no (positive) weight are dropped.
+
+    Fully declarative and reproducible: the per-source counts collapse
+    to one tiny aggregate (|sources| rows) that stays on the cluster —
+    rates ride a broadcast join, and row selection is the same
+    md5-bucket filter as stratified_sample (rerun-identical, no RNG,
+    no shuffle of the fact table). floor() is applied to the bucket
+    threshold on BOTH engines (Spark cast-to-long truncates, DuckDB
+    CAST rounds — floor makes the contract explicit).
+    """
+    wexpr = F.lit(0.0)
+    for val, wt in sorted(weights.items()):
+        wexpr = F.when(F.col(source_col) == val, F.lit(float(wt))) \
+                 .otherwise(wexpr)
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", wexpr)
+        .where(F.col("w") > 0)
+    )
+    t = counts.agg(F.min(F.col("n") / F.col("w")).alias("t"))
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        source_col,
+        (F.col("w") * F.col("t") / F.col("n")).alias("rate"),
+    )
+    return df.join(F.broadcast(rates), source_col).where(
+        sample_bucket_col(F.col(key_col))
+        < F.floor(F.col("rate") * F.lit(SAMPLE_BUCKETS))
+    ).drop("rate")

@@ -109,3 +109,58 @@ def lm_score(
         )
     )
     return out
+
+
+def ngram_counts(df: DataFrame, n: int = 3, min_count: int = 2,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-level token n-gram count table (the raw material for
+    count-based LM training, contamination screens, and template
+    mining): every lowercase token n-gram occurring >= min_count times,
+    with its total occurrence count and document frequency.
+
+    Emits (gram, n_occurrences, n_docs) — gram is the space-joined
+    token window.
+
+    Scale shape: tokens are bound ONCE per row (bind_once — a naive
+    lambda reference would re-run the tokenizer per gram, PLANS.md §5);
+    grams collapse to (doc, gram, cnt) with map-side partial
+    aggregation BEFORE the corpus-level rollup, so the first exchange
+    carries per-doc distinct grams (bounded by doc length) and the
+    second carries one row per (gram, doc) — document frequency comes
+    from the same collapsed table, never a distinct over raw
+    occurrences. min_count pruning happens after the final agg; the
+    Zipf tail it removes never leaves the aggregation buffers
+    un-collapsed.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+    )
+    # transform over the first (size-n+1) tokens: gram i = tokens
+    # [i, i+n). slice() with a non-positive window yields [] so short
+    # docs contribute nothing (no descending-sequence trap).
+    grams = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda x, i: F.array_join(F.slice(t, i + 1, n), " "),
+        ),
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+        .select(
+            "gram",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

@@ -60,3 +60,29 @@ def test_cluster_representatives_argmax_quality(spark):
     assert out[1][1] == 2
     assert out[1][0] in (1, 2)
     assert out[9] == (9, 1)
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    from document_parser_private_spark.operators.curation import (
+        mixture_sample,
+    )
+    rows = [(i, "en" if i % 4 else "de") for i in range(4000)]
+    # en: 3000 rows, de: 1000 rows; weights 3:1 inverted -> de scarce
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"en": 0.25, "de": 0.75}
+    out = mixture_sample(df, weights, source_col="source").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    # T = min(3000/.25, 1000/.75) = 1333.3 -> de keeps ALL 1000 rows,
+    # en keeps ~ .25 * 1333.3 = ~333 (hash-bucket rounding tolerance)
+    assert len(by["de"]) == 1000
+    assert abs(len(by["en"]) - 333) < 60
+    # unweighted sources are dropped entirely
+    df2 = df.withColumn("source", df.source)
+    out2 = mixture_sample(df2, {"de": 1.0}, source_col="source").collect()
+    assert {r["source"] for r in out2} == {"de"}
+    assert len(out2) == 1000
+    # deterministic: identical on re-run
+    again = mixture_sample(df, weights, source_col="source").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

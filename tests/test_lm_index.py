@@ -82,3 +82,35 @@ def test_inverted_index_matches_python(spark):
         if df_ >= 2:
             exp[term] = (df_, cf, ",".join(str(d) for d in ds[:2]))
     assert got == exp
+
+
+def _py_ngrams(docs, n=3):
+    c = Counter()
+    dfreq = Counter()
+    for text in docs.values():
+        t = [x.lower() for x in _TOK.findall(text)]
+        grams = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+        c.update(grams)
+        dfreq.update(set(grams))
+    return c, dfreq
+
+
+def test_ngram_counts_matches_python(spark):
+    from document_parser_private_spark.operators.lm import ngram_counts
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on a hat",
+        3: "the cat sat on the mat",   # exact repeat: occurrences 2x
+        4: "to be",                     # < n tokens -> no grams
+        5: "",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string")
+    out = {
+        r["gram"]: (r["n_occurrences"], r["n_docs"])
+        for r in ngram_counts(df, n=3, min_count=2).collect()
+    }
+    c, dfreq = _py_ngrams(docs)
+    expect = {g: (cnt, dfreq[g]) for g, cnt in c.items() if cnt >= 2}
+    assert out == expect
+    assert "the cat sat" in out and out["the cat sat"] == (3, 3)
