@@ -45,18 +45,29 @@ def force(df) -> int:
 
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+MAX_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4"))
 
 
 def timed_min(fn) -> float:
-    """Min wall time of N_RUNS executions — the sandbox VM suffers
-    episodic hypervisor throttling (measured 2-8x swings on identical
-    jobs); min-of-N estimates unthrottled performance."""
-    best = float("inf")
-    for _ in range(N_RUNS):
+    """Min wall time of N_RUNS executions, extended up to MAX_RUNS when
+    the observed spread is wide — the sandbox VM suffers episodic
+    hypervisor throttling (measured 2-8x BIMODAL swings on identical
+    jobs, CLAUDE.md), so two samples can BOTH land in the slow mode;
+    min-of-adaptive-N estimates unthrottled performance. Extension
+    triggers on max/min > 1.5 (a clean window's run-to-run spread is
+    under ~20%) and stops as soon as two samples agree within 20%."""
+    secs: list[float] = []
+    for i in range(MAX_RUNS):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        secs.append(time.perf_counter() - t0)
+        if i + 1 >= N_RUNS:
+            s = sorted(secs)
+            if len(s) >= 2 and s[1] / s[0] < 1.2:
+                break
+            if max(secs) / min(secs) <= 1.5:
+                break
+    return round(min(secs), 3)
 
 
 def main() -> None:
