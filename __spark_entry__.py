@@ -955,6 +955,18 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy training-sequence packing over the 64/16 token chunks:
+    per-doc chunks fold into 200-token-budget sequences (oversized
+    chunks get their own sequence)."""
+    from document_parser_private_spark.operators.trainprep import (
+        chunk_documents, pack_sequences,
+    )
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=64,
+                             overlap=16)
+    return pack_sequences(chunks, budget_tokens=200)
+
+
 def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus trigram count table with min-count pruning (count-based
     LM / template-mining raw material): occurrence count + document
@@ -1170,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "lm_score": _q_lm_score,
         "ngram_counts": _q_ngram_counts,
+        "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
         "part_outlier_revenue": _q_part_outlier_revenue,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
@@ -2620,6 +2633,35 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+def _pack_sequences_sql() -> str:
+    """Recursive-CTE twin of the greedy per-doc packing fold: the
+    anchor seeds each doc's first chunk (seq 0, pos 0), the recursive
+    step advances one chunk at a time applying the same roll rule the
+    Spark aggregate() uses. Chunk source = the chunk_documents twin
+    inlined as a derived table (64/16 windows), budget 200."""
+    return f"""
+WITH RECURSIVE ch AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+    row_number() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rpos
+  FROM ({_CHUNK_SQL})
+), st AS (
+  SELECT doc_id, rpos, chunk_idx, n_tokens,
+    0::BIGINT AS seq_id, 0::BIGINT AS seq_pos, n_tokens AS used
+  FROM ch WHERE rpos = 1
+  UNION ALL
+  SELECT c.doc_id, c.rpos, c.chunk_idx, c.n_tokens,
+    CASE WHEN s.used + c.n_tokens > 200
+         THEN s.seq_id + 1 ELSE s.seq_id END,
+    CASE WHEN s.used + c.n_tokens > 200
+         THEN 0 ELSE s.seq_pos + 1 END,
+    CASE WHEN s.used + c.n_tokens > 200
+         THEN c.n_tokens ELSE s.used + c.n_tokens END
+  FROM st s JOIN ch c ON c.doc_id = s.doc_id AND c.rpos = s.rpos + 1
+)
+SELECT doc_id, chunk_idx, n_tokens, seq_id, seq_pos FROM st
+"""
+
+
 _NGRAM_COUNTS_SQL = f"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS toks
@@ -2746,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "lm_score": _LM_SCORE_SQL,
         "ngram_counts": _NGRAM_COUNTS_SQL,
+        "pack_sequences": _pack_sequences_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "part_outlier_revenue": _PART_OUTLIER_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,

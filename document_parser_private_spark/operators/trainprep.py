@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 from ..functions.bind import bind_once
 from .textstats import WORD_RE
 
-__all__ = ["repetition_stats", "decontaminate", "chunk_documents"]
+__all__ = ["repetition_stats", "decontaminate", "chunk_documents",
+           "pack_sequences"]
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -236,4 +237,81 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.ctoks").cast("long").alias("n_tokens"),
         F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(chunks: DataFrame, budget_tokens: int = 512,
+                   id_col: str = "doc_id", idx_col: str = "chunk_idx",
+                   tok_col: str = "n_tokens") -> DataFrame:
+    """Greedy sequence packing: assign each document's chunks (in
+    chunk_idx order) to fixed-token-budget training sequences — a chunk
+    that would overflow the running sequence starts the next one; an
+    oversized chunk (n_tokens > budget) gets a sequence of its own.
+    Emits (id, chunk_idx, n_tokens, seq_id, seq_pos) with seq_id and
+    seq_pos both 0-based per document.
+
+    Packing is inherently sequential PER DOCUMENT (the classic
+    training-prep step between chunking and batch assembly), so the
+    fold runs inside one aggregate() over the per-doc chunk array:
+    one shuffle on doc_id (collect_list with map-side partials),
+    everything else narrow. The interpreted-HOF cost (PLANS.md §5) is
+    bounded by chunks-per-doc — tiny — and the quadratic array append
+    in the fold is over the same small k. Cross-document packing is
+    deliberately NOT offered: it would impose a total order on the
+    corpus (a driver-side bottleneck at scale) for no training benefit
+    over per-doc packing + shuffled batch assembly.
+    """
+    entry_t = "array<struct<idx:bigint,n:bigint,seq:bigint,pos:bigint>>"
+    per_doc = chunks.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).cast("long").alias("idx"),
+                    F.col(tok_col).cast("long").alias("n"),
+                )
+            )
+        ).alias("ch")
+    )
+    B = F.lit(budget_tokens)
+
+    def merge(acc, x):
+        roll = (acc["used"] > 0) & (acc["used"] + x["n"] > B)
+        seq = F.when(roll, acc["seq"] + 1).otherwise(acc["seq"])
+        pos = F.when(roll | (acc["used"] == 0), F.lit(0)).otherwise(
+            acc["pos"] + 1
+        )
+        used = F.when(roll, x["n"]).otherwise(acc["used"] + x["n"])
+        entry = F.struct(
+            x["idx"].alias("idx"), x["n"].alias("n"),
+            seq.alias("seq"), pos.alias("pos"),
+        )
+        return F.struct(
+            seq.cast("long").alias("seq"),
+            used.cast("long").alias("used"),
+            pos.cast("long").alias("pos"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    packed = per_doc.select(
+        F.col(id_col),
+        F.explode(
+            F.aggregate(
+                "ch",
+                F.struct(
+                    F.lit(0).cast("long").alias("seq"),
+                    F.lit(0).cast("long").alias("used"),
+                    F.lit(0).cast("long").alias("pos"),
+                    F.array().cast(entry_t).alias("out"),
+                ),
+                merge,
+                lambda acc: acc["out"],
+            )
+        ).alias("e"),
+    )
+    return packed.select(
+        F.col(id_col),
+        F.col("e.idx").alias(idx_col),
+        F.col("e.n").alias(tok_col),
+        F.col("e.seq").alias("seq_id"),
+        F.col("e.pos").alias("seq_pos"),
     )

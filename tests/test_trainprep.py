@@ -161,3 +161,42 @@ def test_chunk_documents_random_parity(spark):
     for did, text in rows:
         exp = _py_chunks(text, 8, 2)
         assert sorted(got.get(did, [])) == sorted(exp), did
+
+
+def _py_pack(chunks, budget):
+    """chunks: list of (idx, n) in idx order -> [(idx, seq, pos)]"""
+    out, seq, used, pos = [], 0, 0, 0
+    for idx, n in sorted(chunks):
+        if used > 0 and used + n > budget:
+            seq, used, pos = seq + 1, n, 0
+        else:
+            pos = 0 if used == 0 else pos + 1
+            used += n
+        out.append((idx, seq, pos))
+    return out
+
+
+def test_pack_sequences_matches_python(spark):
+    from document_parser_private_spark.operators.trainprep import (
+        pack_sequences,
+    )
+    docs = {
+        1: [(0, 60), (1, 60), (2, 60), (3, 30)],   # 60+60 | 60+30
+        2: [(0, 200)],                              # oversized alone
+        3: [(0, 64), (1, 64), (2, 200), (3, 10)],   # oversize mid-doc
+        4: [(0, 128)],                              # exactly budget
+        5: [(0, 100), (1, 28), (2, 1)],             # exact fill + roll
+    }
+    rows = [(d, i, n) for d, ch in docs.items() for i, n in ch]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_tokens long")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["seq_id"], r["seq_pos"])
+        for r in pack_sequences(df, budget_tokens=128).collect()
+    }
+    expect = {
+        (d, idx): (seq, pos)
+        for d, ch in docs.items()
+        for idx, seq, pos in _py_pack(ch, 128)
+    }
+    assert got == expect
