@@ -113,7 +113,8 @@ def main() -> None:
         "repetition_stats", "decontaminate", "chunk_documents",
         "event_asof",
         "hll_distinct", "bm25_terms", "lm_score", "pagerank",
-        "strip_boilerplate",
+        "strip_boilerplate", "ngram_counts", "pack_sequences",
+        "mixture_sample",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 

