@@ -1044,13 +1044,18 @@ def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels surface as 'ALL'. One shuffle; Spark expands grouping sets
     map-side with partial aggregation."""
     li = _tbl(spark, sf_dir, "lineitem")
+    # Sum an exact DECIMAL per-row term (not raw doubles): double sums
+    # are order-dependent, and at larger SFs the accumulated ulp error
+    # on the grand total can cross the 0.005 rounding boundary between
+    # engines. DECIMAL(18,4) summands make the total order-independent;
+    # the twin casts identically.
+    rev_term = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue"),
+            F.round(F.sum(rev_term), 2).cast("double").alias("revenue"),
             F.count("*").cast("long").alias("n_rows"),
         )
         .select(

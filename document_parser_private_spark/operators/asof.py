@@ -53,6 +53,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     pay_fields = [right_ts, *[c for c in right_cols if c != right_ts]]
 
     pay = F.struct(*[F.col(c).alias(c) for c in pay_fields])
+    # A NULL right_ts can never satisfy right_ts <= left_ts, but under
+    # asc-nulls-first ordering it would sort before every left row and
+    # carry a non-null payload into last(ignorenulls) — drop it here so
+    # the contract (and the LATERAL ... WHERE p.ts <= l.ts twin) holds.
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_asof_ts"),

@@ -61,46 +61,57 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()  # driver scalar: one number, not data
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
-    # ranks carries (node, pr, out); out = 0 marks dangling nodes
-    ranks = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
-        "node",
-        F.lit(1.0 / n_nodes).alias("pr"),
-        F.coalesce("out", F.lit(0)).alias("out"),
-    )
-    base = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
-        dangling = (
-            ranks.where(F.col("out") == 0)
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+    try:
+        n_nodes = nodes.count()  # driver scalar: one number, not data
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+        # ranks carries (node, pr, out); out = 0 marks dangling nodes
+        ranks = nodes.join(
+            out_deg, nodes.node == out_deg.src, "left"
+        ).select(
+            "node",
+            F.lit(1.0 / n_nodes).alias("pr"),
+            F.coalesce("out", F.lit(0)).alias("out"),
         )
-        contrib = (
-            e.join(ranks.where(F.col("out") > 0), e.src == F.col("node"))
-            .select("dst", (F.col("pr") / F.col("out")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            ranks.select("node", "out")
-            .join(contrib, ranks.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("dm") / n_nodes
-                    )
-                ).alias("pr"),
-                "out",
+        base = (1.0 - damping) / n_nodes
+        for _ in range(iterations):
+            dangling = (
+                ranks.where(F.col("out") == 0)
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
             )
+            contrib = (
+                e.join(ranks.where(F.col("out") > 0),
+                       e.src == F.col("node"))
+                .select("dst", (F.col("pr") / F.col("out")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            ranks = (
+                ranks.select("node", "out")
+                .join(contrib, ranks.node == contrib.dst, "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.col("dm") / n_nodes
+                        )
+                    ).alias("pr"),
+                    "out",
+                )
+            )
+            # Truncate lineage: keeps each sweep's plan one-join deep.
+            ranks = ranks.localCheckpoint(eager=False)
+        out = ranks.select(
+            "node", F.round("pr", 8).alias("pagerank")
         )
-        # Truncate lineage: keeps each sweep's plan one-join deep.
-        ranks = ranks.localCheckpoint(eager=False)
-    out = ranks.select(
-        "node", F.round("pr", 8).alias("pagerank")
-    )
+        # Eager checkpoint cuts the lineage back to e/nodes so they can
+        # be unpersisted here instead of leaking for the session's
+        # lifetime (repeated calls otherwise stack cached blocks).
+        out = out.localCheckpoint()
+    finally:
+        e.unpersist()
+        nodes.unpersist()
     return out
