@@ -2727,7 +2727,8 @@ GROUP BY 1
 _REVENUE_ROLLUP_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
   coalesce(l_linestatus, 'ALL') AS linestatus,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
+    AS revenue,
   count(*)::BIGINT AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
