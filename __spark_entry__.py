@@ -2280,9 +2280,20 @@ _COS_XY_SQL = """round(
       / (sqrt(list_sum([v * v for v in x.vec]))
          * sqrt(list_sum([v * v for v in y.vec]))), 6)"""
 
+# Guarded twin (mirrors operators/similarity.py semantic_dedup): exact
+# duplicate vectors collapse to a min-id representative before bucketing,
+# buckets over 64 DISTINCT vectors degrade to star-vs-hub comparison,
+# and copies inherit coalesce(rep.dup_of, rep) gated on the identical-
+# pair cosine (== the threshold test the unguarded all-pairs would run).
 _SEMANTIC_DEDUP_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), reps AS (
+  SELECT min(vec_id) AS vec_id, vec FROM e GROUP BY vec
+), cps AS (
+  SELECT e.vec_id, e.vec, r.vec_id AS rep
+  FROM e JOIN reps r ON e.vec = r.vec
+  WHERE e.vec_id <> r.vec_id
 ), b AS (
   SELECT vec_id, vec,
     array_to_string(
@@ -2292,18 +2303,35 @@ WITH e AS (
                          THEN 1.0 ELSE -1.0 END)
            for j in generate_series(0, 63)]) > 0
        THEN '1' ELSE '0' END for p in generate_series(0, 7)], '') AS bucket
-  FROM e
+  FROM reps
+), st AS (
+  SELECT bucket, count(*) AS n, min(vec_id) AS hub FROM b GROUP BY bucket
 ), p AS (
   SELECT y.vec_id AS vec_id, x.vec_id AS other
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  FROM b x
+  JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN st ON st.bucket = x.bucket AND st.n <= 64
+  WHERE {_COS_XY_SQL} >= 0.2
+  UNION ALL
+  SELECT y.vec_id, x.vec_id AS other
+  FROM b y
+  JOIN st ON st.bucket = y.bucket AND st.n > 64 AND y.vec_id <> st.hub
+  JOIN b x ON x.bucket = y.bucket AND x.vec_id = st.hub
   WHERE {_COS_XY_SQL} >= 0.2
 ), d AS (
   SELECT vec_id, min(other) AS dup_of FROM p GROUP BY 1
+), rep_out AS (
+  SELECT r.vec_id, d.dup_of FROM reps r LEFT JOIN d USING (vec_id)
+), cp_out AS (
+  SELECT c.vec_id,
+    CASE WHEN round(list_sum([v * v for v in c.vec])
+                / (sqrt(list_sum([v * v for v in c.vec]))
+                   * sqrt(list_sum([v * v for v in c.vec]))), 6) >= 0.2
+         THEN coalesce(ro.dup_of, c.rep) ELSE ro.dup_of END AS dup_of
+  FROM cps c LEFT JOIN rep_out ro ON ro.vec_id = c.rep
 )
-SELECT e.vec_id,
-  (d.dup_of IS NULL)::INT AS keep,
-  d.dup_of
-FROM e LEFT JOIN d USING (vec_id)
+SELECT vec_id, (dup_of IS NULL)::INT AS keep, dup_of
+FROM (SELECT * FROM rep_out UNION ALL SELECT * FROM cp_out)
 """
 
 

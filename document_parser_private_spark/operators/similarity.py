@@ -256,7 +256,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
 def semantic_dedup(emb: DataFrame, threshold: float = 0.2,
                    dim: int = 64, n_planes: int = N_PLANES,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_bucket: int | None = 64) -> DataFrame:
     """SemDedup-style embedding dedup (Abbas et al. 2023): bucket vectors
     by hyperplane LSH, compute exact cosine only within buckets, and drop
     every vector that has a LOWER-id in-bucket neighbor with cosine >=
@@ -265,30 +266,117 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.2,
     semantic group is its min id, so the op is deterministic and
     idempotent.
 
-    Scale shape: per-row native signature, equi-join on bucket, pairwise
-    cosine restricted to buckets (like embedding_near_dups); a hot bucket
-    is quadratic in its size, so at larger corpora raise n_planes (each
-    plane halves expected bucket occupancy) — the LSH-recall/cost
-    trade-off is the operator's contract, mirroring the reference's
-    cluster-then-prune semantics rather than all-pairs.
+    Self-enforcing flood guard (mirrors minhash_candidates):
+
+    * EXACT-duplicate vectors pre-collapse to one representative (min id
+      per distinct vector, groupBy the array itself — no string
+      serialization to drift between engines). A million identical
+      embeddings contribute ONE bucketed row; copies inherit
+      coalesce(rep.dup_of, rep) whenever cosine(v, v) passes the
+      threshold (the identical-pair cosine, so verdicts are bit-equal
+      to the unguarded pairwise form). The collapse shuffle hashes the
+      full vector; hot keys reduce map-side (partial min) and the
+      propagate join is AQE-skew-splittable, same shape as
+      minhash_candidates' fingerprint collapse.
+    * Buckets with more than `max_bucket` DISTINCT vectors degrade to
+      STAR comparison: every member scores only against the bucket's
+      min-id hub (O(c) pairs instead of O(c²)), and is dropped iff
+      cosine(member, hub) >= threshold. Hub vectors are one row per hot
+      bucket (<= 2**n_planes), always broadcastable. Buckets at or
+      under the cap keep exact all-pairs semantics, so normal corpora
+      are unaffected. max_bucket=None disables both guards (exact
+      all-pairs everywhere). The DuckDB twin in __spark_entry__ mirrors
+      the full guarded semantics (tests/test_semantic_cross_dedup.py
+      drives a guard-tripping corpus through both).
     """
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
-    ).withColumn("bucket", lsh_bucket_col(F.col("vec"), dim, n_planes))
-    a = e.select(F.col(id_col).alias("other"),
-                 F.col("vec").alias("vec_a"), "bucket")
-    b = e.select(F.col(id_col), F.col("vec").alias("vec_b"), "bucket")
-    pairs = (
-        a.join(b, "bucket")
+    )
+    if max_bucket is None:
+        eb = e.withColumn("bucket", lsh_bucket_col(F.col("vec"), dim,
+                                                   n_planes))
+        a = eb.select(F.col(id_col).alias("other"),
+                      F.col("vec").alias("vec_a"), "bucket")
+        b = eb.select(F.col(id_col), F.col("vec").alias("vec_b"), "bucket")
+        pairs = (
+            a.join(b, "bucket")
+            .where(F.col("other") < F.col(id_col))
+            .select(
+                F.col(id_col), F.col("other"),
+                cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+        dup = pairs.groupBy(id_col).agg(F.min("other").alias("dup_of"))
+        return emb.select(F.col(id_col)).join(dup, id_col, "left").select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of"),
+        )
+
+    # one representative (min id) per DISTINCT vector; copies remember it
+    reps = e.groupBy("vec").agg(F.min(id_col).alias(id_col))
+    copies = (
+        e.join(reps.select(F.col(id_col).alias("_rep"), "vec"), "vec")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col), "vec", "_rep")
+    )
+
+    r = reps.withColumn("bucket", lsh_bucket_col(F.col("vec"), dim,
+                                                 n_planes))
+    stats = r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub")
+    )
+    rs = r.join(F.broadcast(stats), "bucket")
+
+    small = rs.where(F.col("_n") <= max_bucket)
+    pa = small.select("bucket", F.col(id_col).alias("other"),
+                      F.col("vec").alias("vec_a"))
+    pb = small.select("bucket", F.col(id_col),
+                      F.col("vec").alias("vec_b"))
+    pairs_small = (
+        pa.join(pb, "bucket")
         .where(F.col("other") < F.col(id_col))
         .select(
             F.col(id_col), F.col("other"),
             cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
     )
+    hubs = rs.where(
+        (F.col("_n") > max_bucket) & (F.col(id_col) == F.col("_hub"))
+    ).select("bucket", F.col(id_col).alias("other"),
+             F.col("vec").alias("vec_a"))
+    pairs_star = (
+        rs.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_hub")))
+        .join(F.broadcast(hubs), "bucket")
+        .select(
+            F.col(id_col), F.col("other"),
+            cosine_col(F.col("vec_a"), F.col("vec")).alias("cosine"),
+        )
+    )
+    pairs = pairs_small.unionByName(pairs_star) \
+                       .where(F.col("cosine") >= threshold)
     dup = pairs.groupBy(id_col).agg(F.min("other").alias("dup_of"))
-    return emb.select(F.col(id_col)).join(dup, id_col, "left").select(
+
+    rep_out = reps.select(F.col(id_col)).join(dup, id_col, "left") \
+                  .select(F.col(id_col), F.col("dup_of"))
+    # identical-pair cosine: same zip_with/fold arithmetic the unguarded
+    # pairwise form would evaluate for (copy, rep), so the gate below is
+    # bit-equal to it (1.0 for nonzero vectors after round-6)
+    self_cos = cosine_col(F.col("vec"), F.col("vec"))
+    copy_out = (
+        copies
+        .join(dup.select(F.col(id_col).alias("_rep"),
+                         F.col("dup_of").alias("_rep_dup")),
+              "_rep", "left")
+        .select(
+            F.col(id_col),
+            F.when(self_cos >= threshold,
+                   F.coalesce(F.col("_rep_dup"), F.col("_rep")))
+            .otherwise(F.col("_rep_dup")).alias("dup_of"),
+        )
+    )
+    return rep_out.unionByName(copy_out).select(
         F.col(id_col),
         F.col("dup_of").isNull().alias("keep"),
         F.col("dup_of"),
