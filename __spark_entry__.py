@@ -937,6 +937,32 @@ def _q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc model-token budget under the static DEFAULT_MERGES BPE
+    table (operators/bpe.py): canonical priority merging applied to each
+    DISTINCT word once (vocab-bounded cost), counts broadcast-joined
+    back and summed per doc. The twin replays the identical merge loop
+    with a recursive CTE over ranks (same trick as pack_sequences)."""
+    from document_parser_private_spark.operators.bpe import bpe_token_counts
+    return bpe_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_bpe"
+    )
+
+
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch over documents.n_chars per
+    source: integer-arithmetic buckets (exactly portable across
+    engines), per-group histogram counts crossing the shuffle instead
+    of raw values, estimates read off the cumulative grid next to the
+    exact percentile and the absolute error."""
+    from document_parser_private_spark.operators.sketch import (
+        quantile_sketch,
+    )
+    return quantile_sketch(
+        _docs(spark, sf_dir), value_col="n_chars", group_cols=["source"]
+    )
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index over documents: (term, df, cf, first-20
     postings csv) for terms in >= 5 docs; the posting cap applies
@@ -1192,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_outlier_revenue": _q_part_outlier_revenue,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "zorder_codes": _q_zorder_codes,
+        "bpe_tokens": _q_bpe_tokens,
+        "quantile_sketch": _q_quantile_sketch,
     }
 
 
@@ -2335,6 +2363,111 @@ FROM (SELECT * FROM rep_out UNION ALL SELECT * FROM cp_out)
 """
 
 
+def _bpe_tokens_sql() -> str:
+    """Recursive-CTE twin of the BPE priority-merge encode: each
+    iteration merges the lowest-rank (leftmost on tie) adjacent pair of
+    the word's current symbols, exactly the bounded fold the Spark side
+    runs (operators/bpe.py bpe_syms_col); words over 64 chars stay one
+    opaque symbol, at most 63 merges per word. Encoding runs per
+    DISTINCT word, then joins back to the (doc, word, occ) table."""
+    from document_parser_private_spark.operators.bpe import (
+        DEFAULT_MERGES, MAX_WORD_LEN, _NO_MERGE,
+    )
+    pairs = ", ".join(
+        f"'{left} {right}': {rank}"
+        for rank, (left, right) in enumerate(DEFAULT_MERGES, start=1)
+    )
+    return f"""
+WITH RECURSIVE dw AS (
+  SELECT doc_id, word, count(*) AS occ
+  FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS word
+    FROM documents
+  ) GROUP BY 1, 2
+), vocab AS (
+  SELECT DISTINCT word FROM dw
+), st AS (
+  SELECT word,
+    CASE WHEN length(word) > {MAX_WORD_LEN} THEN [word]
+         ELSE [word[i] for i in generate_series(1, length(word))]
+    END AS syms,
+    0 AS it
+  FROM vocab
+  UNION ALL
+  SELECT word,
+    syms[1:pos - 1] || [syms[pos] || syms[pos + 1]] || syms[pos + 2:],
+    it + 1
+  FROM (
+    SELECT word, syms, it,
+      list_min(rks) AS best, list_position(rks, list_min(rks)) AS pos
+    FROM (
+      SELECT word, syms, it,
+        [coalesce(map_extract(MAP {{{pairs}}},
+                              syms[i] || ' ' || syms[i + 1])[1],
+                  {_NO_MERGE})
+         for i in generate_series(1, len(syms) - 1)] AS rks
+      FROM st WHERE len(syms) >= 2 AND it < 63
+    )
+  ) WHERE best < {_NO_MERGE}
+), enc AS (
+  SELECT word, len(syms) AS n_syms FROM st
+  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1
+)
+SELECT dw.doc_id,
+  sum(occ)::BIGINT AS n_words,
+  sum(occ * enc.n_syms)::BIGINT AS n_bpe
+FROM dw JOIN enc USING (word)
+GROUP BY 1
+"""
+
+
+# Twin of operators/sketch.py quantile_sketch: identical integer grid,
+# ceil(q*n) pick rule, midpoint estimate, exact via quantile_cont
+# (matches Spark percentile(), proven by length_quantiles).
+_QUANTILE_SKETCH_SQL = """
+WITH v AS (
+  SELECT source, n_chars::BIGINT AS v FROM documents
+), h AS (
+  SELECT source,
+    CASE WHEN v < 1024 THEN v // 16
+         WHEN v < 16384 THEN 64 + (v - 1024) // 256
+         ELSE 124 + least((v - 16384) // 4096, 875) END AS b,
+    count(*) AS c
+  FROM v GROUP BY 1, 2
+), cumh AS (
+  SELECT source, b,
+    sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+    sum(c) OVER (PARTITION BY source) AS n
+  FROM h
+), qs AS (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q
+), pick AS (
+  SELECT source, q, min(b) AS b, min(n) AS n_rows
+  FROM cumh, qs WHERE cum >= ceil(q * n)
+  GROUP BY 1, 2
+), est AS (
+  SELECT source, q,
+    round(CASE WHEN b < 64 THEN b * 16 + 8.0
+               WHEN b < 124 THEN 1024 + (b - 64) * 256 + 128.0
+               ELSE 16384 + (b - 124) * 4096 + 2048.0 END, 4) AS est,
+    n_rows
+  FROM pick
+), ex AS (
+  SELECT source,
+    unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
+    unnest([round(quantile_cont(v, 0.25), 4), round(quantile_cont(v, 0.5), 4),
+            round(quantile_cont(v, 0.75), 4), round(quantile_cont(v, 0.95), 4)])
+      AS exact
+  FROM v GROUP BY source
+)
+SELECT est.source, est.q, est.est::DOUBLE AS est, ex.exact::DOUBLE AS exact,
+  round(abs(est.est - ex.exact), 4)::DOUBLE AS abs_err,
+  est.n_rows::BIGINT AS n_rows
+FROM est JOIN ex ON est.source = ex.source AND est.q = ex.q
+"""
+
+
 def _cross_corpus_sql() -> str:
     """Twin of cross_corpus_dedup over the shifted-copy construction:
     both corpora exact-collapse to fingerprint representatives, one
@@ -2827,6 +2960,8 @@ def oracle_sql() -> dict[str, str]:
         "part_outlier_revenue": _PART_OUTLIER_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "zorder_codes": _zorder_sql(),
+        "bpe_tokens": _bpe_tokens_sql(),
+        "quantile_sketch": _QUANTILE_SKETCH_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

@@ -157,3 +157,102 @@ def cm_estimate(sketch: DataFrame, items: DataFrame,
         *[F.coalesce(F.col(f"_n{r}"), F.lit(0)) for r in range(CM_DEPTH)]
     )
     return out.select(item_col, est.cast("long").alias("cm_count"))
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch: fixed integer grid (mergeable, engine-portable)
+# ---------------------------------------------------------------------------
+
+# Three-tier integer grid over non-negative longs. All arithmetic is
+# integer division, so Spark and DuckDB agree bit-for-bit (a float
+# log-grid would hinge on libm ulps at bucket boundaries).
+#   tier 1: v <  1024   -> bucket = v // 16          (0..63,    width 16)
+#   tier 2: v <  16384  -> 64 + (v - 1024) // 256    (64..123,  width 256)
+#   tier 3: v >= 16384  -> 124 + min((v-16384)//4096, 875)  (width 4096,
+#           capped at bucket 999 so the grid is bounded by construction)
+QS_DEFAULT = (0.25, 0.5, 0.75, 0.95)
+
+
+def quantile_bucket_col(v) -> "F.Column":
+    v = v.cast("long")
+    return (
+        F.when(v < 1024, F.floor(v / 16))
+        .when(v < 16384, 64 + F.floor((v - 1024) / 256))
+        .otherwise(124 + F.least(F.floor((v - 16384) / 4096), F.lit(875)))
+    ).cast("long")
+
+
+def quantile_bucket_mid_col(b) -> "F.Column":
+    """Bucket midpoint (the estimate read off the grid)."""
+    return (
+        F.when(b < 64, b * 16 + 8.0)
+        .when(b < 124, 1024 + (b - 64) * 256 + 128.0)
+        .otherwise(16384 + (b - 124) * 4096 + 2048.0)
+    ).cast("double")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float] = QS_DEFAULT,
+) -> DataFrame:
+    """Per-group quantile estimates from a mergeable fixed-grid
+    histogram, next to the exact percentile and the absolute error.
+
+    Why this exists at 100 TB: exact per-group `percentile()` is a full
+    sort of every group's values. The sketch shuffles at most 1000
+    (group, bucket) count rows per group — built with one map-side
+    partial aggregation, associative/mergeable by construction (merging
+    two corpora's sketches = adding histograms). Worst-case estimate
+    error is half a bucket width (8 / 128 / 2048 per tier).
+
+    Quantile rule (mirrored in the DuckDB twin): estimate(q) = midpoint
+    of the smallest bucket whose cumulative count reaches ceil(q * n).
+    Output: (group..., q, est, exact, abs_err, n_rows) — `exact` is the
+    interpolated percentile, present to surface the error; production
+    at scale reads `est` only.
+    """
+    g = list(group_cols)
+    v = F.col(value_col)
+    hist = (
+        df.select(*g, quantile_bucket_col(v).alias("_b"))
+        .groupBy(*g, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    from pyspark.sql import Window
+    wcum = (
+        Window.partitionBy(*g).orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*g)
+    cum = hist.select(
+        *g, "_b",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    picked = (
+        cum.select(*g, "_b", "_cum", "_n",
+                   F.explode(qarr).alias("q"))
+        .where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+        .groupBy(*g, "q")
+        .agg(F.min("_b").alias("_b"), F.min("_n").alias("n_rows"))
+        .select(
+            *g, "q",
+            F.round(quantile_bucket_mid_col(F.col("_b")), 4).alias("est"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+    exact = (
+        df.groupBy(*g)
+        .agg(F.percentile(v.cast("double"), qarr).alias("_ex"))
+        .select(*g, F.posexplode("_ex").alias("_i", "_exact"))
+        .select(*g, F.element_at(qarr, F.col("_i") + 1).alias("q"),
+                F.round("_exact", 4).alias("exact"))
+    )
+    return picked.join(exact, [*g, "q"]).select(
+        *g, "q", "est", "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+        "n_rows",
+    )
