@@ -709,6 +709,8 @@ _NER_SAMPLES = [
     "no entities here, just plain lowercase text about nothing",
     "Project manager at Northwind Trading Company and Delta Analytics"
     " LLC in Toronto",
+    "Relocated from New York City to Salt Lake City as an analyst for"
+    " Pacific Rim Trading Co",
 ]
 
 
@@ -2071,7 +2073,7 @@ def _ner_entities_sql() -> str:
     (LOC indexes the CANDIDATE list before the gazetteer filter, exactly
     like the Spark posexplode-then-semi-join)."""
     from document_parser_private_spark.operators.ner import (
-        DEFAULT_GAZETTEER, INST_RE, LOC_CAND_RE, ORG_RE, TITLE_RE,
+        DEFAULT_GAZETTEER, INST_RE, LOC_MAX_NGRAM, ORG_RE, RUN_RE, TITLE_RE,
     )
     samples = "[" + ", ".join(
         "'" + s.replace("'", "''") + "'" for s in _NER_SAMPLES) + "]"
@@ -2089,8 +2091,21 @@ d AS (
   FROM d
 ), title_l AS (
   SELECT doc_id, regexp_extract_all(t, '{TITLE_RE}', 1) AS lst FROM d
-), cand_l AS (
-  SELECT doc_id, regexp_extract_all(t, '{LOC_CAND_RE}', 1) AS lst FROM d
+), runs AS (
+  SELECT doc_id,
+    unnest(lst) AS run,
+    unnest(generate_series(1, len(lst))) AS ridx
+  FROM (SELECT doc_id, regexp_extract_all(t, '{RUN_RE}', 1) AS lst FROM d)
+), rws AS (
+  SELECT doc_id, ridx, string_split(run, ' ') AS w FROM runs
+), spans AS (
+  -- every contiguous 1..{LOC_MAX_NGRAM}-word subspan of each run,
+  -- indexed in (run, start, length) order like the Spark posexplode
+  SELECT doc_id, ridx, i, j, array_to_string(w[i:j], ' ') AS entity
+  FROM rws,
+       unnest(generate_series(1, len(w))) AS t1(i),
+       unnest(generate_series(i, least(i + {LOC_MAX_NGRAM - 1}, len(w))))
+         AS t2(j)
 )
 SELECT doc_id, 'ORG' AS entity_group,
        unnest([i - 1 for i in generate_series(1, len(lst))])::INT
@@ -2105,9 +2120,10 @@ FROM title_l
 UNION ALL
 SELECT doc_id, 'LOC', match_idx, entity FROM (
   SELECT doc_id,
-    unnest([i - 1 for i in generate_series(1, len(lst))])::INT AS match_idx,
-    unnest(lst) AS entity
-  FROM cand_l
+    (row_number() OVER (PARTITION BY doc_id ORDER BY ridx, i, j) - 1)::INT
+      AS match_idx,
+    entity
+  FROM spans
 ) WHERE entity IN (SELECT place FROM gaz)
 """
 

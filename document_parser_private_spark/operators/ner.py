@@ -53,9 +53,14 @@ TITLE_RE = (
     r"(?i)\b(software engineer|developer|data scientist|project manager"
     r"|analyst|consultant)\b"
 )
-# Capitalized unigram/bigram LOC candidates; bigram-preferred so
-# "New York" is one candidate, not two
-LOC_CAND_RE = r"\b([A-Z][a-z]+(?: [A-Z][a-z]+)?)\b"
+# LOC candidates: every contiguous 1..3-word subspan of each maximal
+# capitalized run (r5 — the old bigram-preferred extraction could never
+# surface "New York City"-class trigrams, and a greedy trigram regex
+# would have swallowed "New York" inside "New York Stock"; emitting all
+# subspans keeps both). Candidate order = run order, then start, then
+# length — mirrored exactly by the twin's row_number.
+RUN_RE = r"\b([A-Z][a-z]+(?: [A-Z][a-z]+)*)\b"
+LOC_MAX_NGRAM = 3
 
 # Default gazetteer — deterministic, intentionally small; production
 # passes a real places table to `gazetteer`.
@@ -65,11 +70,34 @@ DEFAULT_GAZETTEER = (
     "New York", "San Francisco", "Seattle", "Austin", "Boston",
     "London", "Berlin", "Paris", "Amsterdam", "Tokyo", "Toronto",
     "Sydney", "Bangalore", "Cape Town", "Johannesburg", "Remote",
+    "New York City", "Salt Lake City",
 )
 
 
 def _matches(text: Column, pattern: str, group: int = 1) -> Column:
     return F.regexp_extract_all(text, F.lit(pattern), F.lit(group))
+
+
+def loc_candidates_col(text: Column) -> Column:
+    """All 1..{LOC_MAX_NGRAM}-word contiguous subspans of every maximal
+    capitalized run, in (run, start, length) order. Pure HOF expression;
+    the per-run word split is bound once (PLANS.md §5)."""
+    from ..functions.bind import bind_once
+
+    def spans_of_run(run: Column) -> Column:
+        def with_ws(ws: Column) -> Column:
+            return F.flatten(F.transform(
+                F.sequence(F.lit(1), F.size(ws)),
+                lambda i: F.transform(
+                    F.sequence(i, F.least(i + F.lit(LOC_MAX_NGRAM - 1),
+                                          F.size(ws))),
+                    lambda j: F.array_join(F.slice(ws, i, j - i + 1), " "),
+                ),
+            ))
+
+        return bind_once(F.split(run, " "), with_ws)
+
+    return F.flatten(F.transform(_matches(text, RUN_RE), spans_of_run))
 
 
 def ner_extract(df: DataFrame, text_col: str = "text",
@@ -98,7 +126,7 @@ def ner_extract(df: DataFrame, text_col: str = "text",
 
     gaz = gazetteer if gazetteer is not None else spark.createDataFrame(
         [(p,) for p in DEFAULT_GAZETTEER], "place string")
-    cands = exploded(_matches(F.col("_t"), LOC_CAND_RE), "LOC")
+    cands = exploded(loc_candidates_col(F.col("_t")), "LOC")
     locs = (
         cands.join(F.broadcast(gaz), cands["entity"] == gaz["place"],
                    "left_semi")

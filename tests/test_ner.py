@@ -54,3 +54,20 @@ def test_ner_first_match_columns(spark):
     ).first()
     assert r["company"] == "Initech Corp"   # first ORG wins
     assert r["position"] == "Consultant"    # first title-list hit wins
+
+
+def test_ner_trigram_place_matches(spark):
+    """r5: LOC candidates cover 1..3-word subspans, so trigram places
+    match — and embedded shorter places still surface ("New York"
+    inside "New York Stock Exchange")."""
+    d = spark.createDataFrame(
+        [("a", "Moved to New York City for work"),
+         ("b", "Joined the New York Stock Exchange team in Berlin")],
+        "doc_id string, text string")
+    out = {}
+    for r in ner_extract(d).collect():
+        if r["entity_group"] == "LOC":
+            out.setdefault(r["doc_id"], []).append(r["entity"])
+    assert "New York City" in out["a"]
+    assert "New York" in out["a"]          # embedded bigram still emitted
+    assert out["b"] == ["New York", "Berlin"]
