@@ -129,3 +129,83 @@ def test_stream_dedup_matches_batch_survivors(spark, tmp_path):
     assert len(streamed_fps) == len(set(streamed_fps))
     # every planted duplicate collapsed: batch saw 2x copies per fp
     assert all(r["dup_count"] >= 2 for r in batch)
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Replay-equality at the watermark horizon (r5, mirroring the r4
+    dedup guard): the stateful stream's emitted sessions must equal the
+    batch lag-rule sessions that CLOSE within the data (a later event of
+    the same user follows after the gap) PLUS trailing sessions whose
+    event-time timeout (last + gap) fell behind the final watermark
+    (global max ts - 1h) — only still-live trailing sessions stay in
+    state."""
+    import datetime as dt
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from document_parser_private_spark.streaming.stream import (
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    pats = {  # per-user inter-event gaps in minutes (>30 closes)
+        1: [0, 5, 50, 10, 90, 2],
+        2: [0, 100, 100],
+        3: [0, 10, 20],
+    }
+    rows = []
+    for u, gaps in pats.items():
+        t = base
+        for g in gaps:
+            t = t + dt.timedelta(minutes=g)
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    in_dir = str(tmp_path / "sess_in")
+    df.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema("user_id long, ts timestamp") \
+                  .parquet(in_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory").queryName("sess_parity")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_parity").collect()
+    }
+
+    # batch twin: the event_sessions lag rule, sessions materialized
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        df.withColumn(
+            "sid",
+            F.sum(
+                F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+            ).over(w),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    umax = df.groupBy("user_id").agg(F.max("ts").alias("umax"))
+    global_max = max(t for _, t in rows)
+    wm = global_max - dt.timedelta(hours=1)  # the 1h default watermark
+    flushed = (
+        (F.col("session_end") == F.col("umax"))
+        & (F.col("session_end") + F.expr("interval 30 minutes")
+           < F.lit(wm))
+    )
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.join(umax, "user_id")
+        .where((F.col("session_end") < F.col("umax")) | flushed).collect()
+    }
+    assert got == exp
+    # u1 closes two, u2 closes two, u3's idle trailing session flushes
+    assert len(exp) == 5
