@@ -1155,6 +1155,69 @@ def _q_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.py): every 'error'
+    event opens a 15-minute incident window; all of the same user's
+    events falling in [start, start+900s) attach to it. The range
+    predicate becomes an equi-join on (user_id, time bucket) — a plan
+    Catalyst can hash-join and AQE can skew-split — instead of the
+    per-key cross product a raw theta-join degrades to."""
+    from document_parser_private_spark.operators.rangejoin import range_join
+    ev = _tbl(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp(F.col("ts"))
+    pts = ev.select("user_id", "event_id", "value", ts_s.alias("ts_s"))
+    iv = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        ts_s.alias("start_s"),
+        (ts_s + F.lit(900)).alias("end_s"),
+    )
+    j = range_join(pts, iv, on=["user_id"], point_col="ts_s",
+                   start_col="start_s", end_col="end_s", bucket_width=900)
+    return j.groupBy("incident_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double").alias("sum_value"),
+    )
+
+
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter semi-join reduction
+    (operators/bloom.py): filter built from BUILDING-segment customer
+    keys (m=4096 bits, k=3 md5 hashes), orders probed scan-side with
+    zero probe shuffles. Emits bloom_pass next to the exact membership
+    so the oracle verifies both the bit arithmetic and the achieved
+    false-positive set."""
+    from document_parser_private_spark.operators.bloom import (
+        bloom_build, bloom_prune,
+    )
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING")
+    bloom = bloom_build(seg, "c_custkey", m_bits=4096, k=3)
+    pruned = bloom_prune(
+        orders.select("o_orderkey", "o_custkey"), "o_custkey", bloom,
+        m_bits=4096, k=3,
+    )
+    member = seg.select(F.col("c_custkey").alias("o_custkey")).distinct() \
+        .withColumn("is_member", F.lit(1))
+    return pruned.join(F.broadcast(member), "o_custkey", "left").select(
+        "o_orderkey",
+        "bloom_pass",
+        F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+    )
+
+
+def _q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical-diversity curation signals: token entropy
+    (bits), type-token ratio, hapax fraction — doc_id-prefixed
+    aggregation keys, nothing crosses documents."""
+    from document_parser_private_spark.operators.textstats import (
+        lexical_stats,
+    )
+    return lexical_stats(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -1222,6 +1285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_codes": _q_zorder_codes,
         "bpe_tokens": _q_bpe_tokens,
         "quantile_sketch": _q_quantile_sketch,
+        "incident_window_join": _q_incident_window_join,
+        "bloom_prune": _q_bloom_prune,
+        "lexical_stats": _q_lexical_stats,
     }
 
 
@@ -2958,6 +3024,85 @@ FROM p LEFT JOIN r USING (doc_id)
 """
 
 
+# Range join: DuckDB plans the raw theta-join directly (IEJoin); the
+# Spark side's bucketization is internal (the exact predicate re-filters
+# candidates), so the twin needs no bucket arithmetic. DECIMAL summand
+# mirrors revenue_rollup's order-independent sum contract.
+_INCIDENT_WINDOW_SQL = """
+WITH pts AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), inc AS (
+  SELECT user_id, event_id AS incident_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(CAST(p.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM inc i JOIN pts p
+  ON p.user_id = i.user_id
+ AND p.ts_s >= i.start_s AND p.ts_s < i.start_s + 900
+GROUP BY 1
+"""
+
+# Bloom positions replay the operators/bloom.py md5 contract bit for
+# bit: pos_i = int(md5(key || '#' || i)[0:8], 16) % m (m=4096, k=3).
+_BLOOM_PRUNE_SQL = """
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), pos AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || i), 1, 8)
+         AS BIGINT) % 4096 AS pos
+  FROM seg CROSS JOIN (VALUES (0), (1), (2)) t(i)
+), pr AS (
+  SELECT o_orderkey, o_custkey,
+    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#0'), 1, 8)
+         AS BIGINT) % 4096 AS p0,
+    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#1'), 1, 8)
+         AS BIGINT) % 4096 AS p1,
+    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#2'), 1, 8)
+         AS BIGINT) % 4096 AS p2
+  FROM orders
+)
+SELECT pr.o_orderkey,
+  CAST(CASE WHEN p0 IN (SELECT pos FROM pos)
+         AND p1 IN (SELECT pos FROM pos)
+         AND p2 IN (SELECT pos FROM pos) THEN 1 ELSE 0 END
+       AS INTEGER) AS bloom_pass,
+  CAST(CASE WHEN o_custkey IN (SELECT c_custkey FROM seg) THEN 1 ELSE 0 END
+       AS INTEGER) AS is_member
+FROM pr
+"""
+
+_LEXICAL_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_WORD_SQL}')) AS token
+  FROM documents
+), per AS (
+  SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+), st AS (
+  SELECT doc_id,
+    sum(cnt) AS n_tokens,
+    count(*) AS n_types,
+    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax,
+    sum(cnt * ln(cnt)) AS clnc
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(st.n_types, 0) AS BIGINT) AS n_types,
+  round(st.n_types / CAST(st.n_tokens AS DOUBLE), 6) AS ttr,
+  round(st.hapax / CAST(st.n_types AS DOUBLE), 6) AS hapax_frac,
+  round((ln(CAST(st.n_tokens AS DOUBLE))
+         - st.clnc / CAST(st.n_tokens AS DOUBLE))
+        / 0.6931471805599453, 6) AS entropy
+FROM (SELECT doc_id FROM documents) d LEFT JOIN st USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
@@ -2978,6 +3123,9 @@ def oracle_sql() -> dict[str, str]:
         "zorder_codes": _zorder_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
         "quantile_sketch": _QUANTILE_SKETCH_SQL,
+        "incident_window_join": _INCIDENT_WINDOW_SQL,
+        "bloom_prune": _BLOOM_PRUNE_SQL,
+        "lexical_stats": _LEXICAL_STATS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

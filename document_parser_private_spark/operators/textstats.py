@@ -185,3 +185,54 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
         hashed.select(id_col), id_col, "left_anti"
     ).withColumn("simhash", F.lit(0).cast("long"))
     return hashed.unionByName(empties)
+
+
+def lexical_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical-diversity signals (r5).
+
+    Emits, per doc:
+      n_tokens    — WORD_RE token occurrences
+      n_types     — distinct tokens
+      ttr         — type-token ratio n_types/n_tokens, rounded to 6
+      hapax_frac  — fraction of types occurring exactly once, rounded 6
+      entropy     — token unigram Shannon entropy in bits
+                    (ln n - sum(c ln c)/n) / ln 2, rounded to 6
+
+    Low entropy / low TTR flags boilerplate and keyword-stuffed spam;
+    near-maximal entropy with high hapax_frac flags gibberish — the
+    standard pair of corpus-curation signals next to quality_score.
+
+    Scale shape: one groupBy (doc, token) with map-side partial
+    counts, then one groupBy (doc) — keys are doc_id-prefixed so
+    nothing moves across documents; left join back to the input keeps
+    zero-token docs (NULL stats). Entirely codegen; the ln() calls are
+    IEEE doubles identical across Spark/DuckDB at round-6 (same
+    contract as operators/lm.py avg_logp).
+    """
+    did = F.col(id_col)
+    tok = df.select(
+        did,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+        ).alias("token"),
+    )
+    per = tok.groupBy(did, F.col("token")).agg(F.count("*").alias("cnt"))
+    st = per.groupBy(did).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("_hapax"),
+        F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+        .alias("_clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return df.select(did).join(st, id_col, "left").select(
+        did.cast("long").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.round(F.col("n_types") / n, 6).alias("ttr"),
+        F.round(F.col("_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        F.round((F.log(n) - F.col("_clnc") / n) / F.lit(0.6931471805599453), 6)
+        .alias("entropy"),
+    )
