@@ -1218,6 +1218,30 @@ def _q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_stats(_docs(spark, sf_dir))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (A-Res ordering, md5 key
+    stream as the RNG): 5 docs per source, inclusion probability
+    proportional to n_chars; exact two-phase salted top-k so no group
+    is ever sorted whole at one reducer."""
+    from document_parser_private_spark.operators.curation import (
+        weighted_sample,
+    )
+    out = weighted_sample(_docs(spark, sf_dir), k=5, weight_col="n_chars",
+                          group_cols=["source"])
+    return out.select("doc_id", "source", "sample_score",
+                      F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel per user: earliest
+    valid timestamp at each stage (greedy-earliest maximizes
+    completions), one user-keyed hash aggregation per stage — no
+    per-user buffers, no self-join explosion."""
+    from document_parser_private_spark.operators.funnel import funnel
+    return funnel(_tbl(spark, sf_dir, "events"),
+                  stages=["signup", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -1288,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_window_join": _q_incident_window_join,
         "bloom_prune": _q_bloom_prune,
         "lexical_stats": _q_lexical_stats,
+        "weighted_sample": _q_weighted_sample,
+        "event_funnel": _q_event_funnel,
     }
 
 
@@ -3103,6 +3129,47 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN st USING (doc_id)
 """
 
 
+# A-Res weighted sample: u is a dyadic rational (exact double both
+# engines); the rank key is round-6 BEFORE ranking so a 1-ulp ln()
+# divergence cannot flip an order, ties break on doc_id.
+_WEIGHTED_SAMPLE_SQL = """
+WITH s AS (
+  SELECT doc_id, source,
+    round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                   AS BIGINT) + 1.0) / 4503599627370496.0)
+          / n_chars, 6) AS sample_score
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, source, sample_score,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY sample_score DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, source, sample_score, CAST(rn AS INTEGER) AS sample_rank
+FROM r WHERE rn <= 5
+"""
+
+_EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            ELSE 1 END AS INTEGER) AS stages_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
@@ -3126,6 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         "incident_window_join": _INCIDENT_WINDOW_SQL,
         "bloom_prune": _BLOOM_PRUNE_SQL,
         "lexical_stats": _LEXICAL_STATS_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "event_funnel": _EVENT_FUNNEL_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

@@ -79,7 +79,14 @@ def main() -> None:
     from document_parser_private_spark.plans.pipeline import extract_pipeline
     import __spark_entry__ as E
 
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    # One scan task per corpus shard (openCost >= maxPartitionBytes
+    # defeats small-file bin packing): default packing glues the 64
+    # equal shards into ~cores+2 ragged splits -> a straggler wave that
+    # idles most cores at 32 (PLANS.md §20; single-file sf tables are
+    # unaffected — packing only applies across files).
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus,
+                      extra_conf={"spark.sql.files.openCostInBytes":
+                                  "16777216"})
 
     cpath = corpus_path(sf)
     corpus = spark.read.parquet(cpath)
@@ -115,6 +122,8 @@ def main() -> None:
         "hll_distinct", "bm25_terms", "lm_score", "pagerank",
         "strip_boilerplate", "ngram_counts", "pack_sequences",
         "mixture_sample",
+        "bpe_tokens", "quantile_sketch", "incident_window_join",
+        "bloom_prune", "lexical_stats",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 

@@ -20,6 +20,8 @@ Scale shape:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -247,3 +249,50 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
         sample_bucket_col(F.col(key_col))
         < F.floor(F.col("rate") * F.lit(SAMPLE_BUCKETS))
     ).drop("rate")
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    group_cols: Sequence[str] | None = None,
+                    key_col: str = "doc_id",
+                    salt_buckets: int = 32) -> DataFrame:
+    """Deterministic weighted reservoir sample: k rows per group,
+    inclusion probability proportional to `weight_col` (Efraimidis &
+    Spirakis A-Res ordering, PAPERS.md) with the md5 key stream
+    standing in for the RNG — rerun-identical and resume-safe like
+    stratified_sample.
+
+    score = ln(u) / w with u = (int(md5(key)[0:13], 16) + 1) / 2^52;
+    top-k by score wins. u is an exact dyadic rational in (0, 1], so
+    the DuckDB twin reproduces every double bit for bit (ln() at
+    cross-engine parity per the lm.py contract).
+
+    Scale shape — a naive per-group rank sorts the WHOLE group at one
+    reducer. Instead two-phase top-k: rank within (group, salt) first
+    (salt = md5 bucket % salt_buckets), keep k per salt, then rank the
+    <= k * salt_buckets survivors per group. Any global top-k row is
+    top-k within its salt, so the result is exact; the final sort
+    touches k * salt_buckets rows per group no matter how large the
+    group is."""
+    g = [F.col(c) for c in (group_cols or [])]
+    key = F.col(key_col)
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    score = F.log(u) / F.col(weight_col)
+    salted = df.where(F.col(weight_col) > 0).withColumn(
+        "sample_score", F.round(score, 6)
+    ).withColumn(
+        "_ws_salt",
+        F.pmod(sample_bucket_col(key), F.lit(salt_buckets)),
+    )
+    w1 = Window.partitionBy(*g, F.col("_ws_salt")).orderBy(
+        F.col("sample_score").desc(), key.asc())
+    survivors = salted.withColumn(
+        "_ws_rn", F.row_number().over(w1)
+    ).where(F.col("_ws_rn") <= k)
+    w2 = Window.partitionBy(*g).orderBy(
+        F.col("sample_score").desc(), key.asc())
+    return survivors.withColumn(
+        "sample_rank", F.row_number().over(w2)
+    ).where(F.col("sample_rank") <= k).drop("_ws_salt", "_ws_rn")

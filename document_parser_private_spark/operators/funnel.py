@@ -1,0 +1,72 @@
+"""Ordered funnel analysis over an event stream.
+
+"Of the users who did stage 1, how many went on to do stage 2 AFTER
+stage 1, then stage 3 after that?" — the sequential constraint (each
+stage's timestamp must be >= the previous stage's chosen timestamp) is
+what separates a funnel from three independent filters, and it is what
+makes the naive formulations scale-hostile:
+
+  - collect_list(events) per user + a per-user scan buffers every
+    event of a hot user in one aggregation buffer;
+  - a self-join per consecutive stage pair explodes on users with many
+    events per stage.
+
+This operator computes the canonical greedy funnel (earliest possible
+timestamp at every stage, which maximizes completion counts) as ONE
+hash aggregation per stage: stage i is a min(ts) over the stage-i
+events joined to the stage-(i-1) frontier, filtered to ts >= t_{i-1}.
+Every groupBy keys on the user id, so after the first exchange the
+data is already co-partitioned; per-stage state is one row per user —
+no buffers, no explosion, hot users cost the same as cold ones.
+
+Greedy-earliest is exactly right: taking the earliest valid timestamp
+at each stage dominates any other choice (it can only admit a superset
+of later-stage matches), so `stage_ts[i] IS NOT NULL` == "user
+completed stages 0..i in order".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel"]
+
+
+def funnel(events: DataFrame, stages: Sequence[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Per-user funnel: one row per user who reached stage 1, with
+    `t1..tn` (earliest valid timestamp per stage, NULL once the user
+    drops out) and `stages_completed`.
+    """
+    stages = list(stages)
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    frontier = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .select(user_col, F.col(ts_col).alias("_f_ts"))
+            .join(frontier.select(user_col, F.col(f"t{i - 1}")), user_col)
+            .where(F.col("_f_ts") >= F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("_f_ts").alias(f"t{i}"))
+            .select(user_col, f"t{i}")
+        )
+        frontier = frontier.join(nxt, user_col, "left")
+    # deepest non-null stage wins: test greatest-first
+    completed = F.coalesce(
+        *[F.when(F.col(f"t{i}").isNotNull(), F.lit(i))
+          for i in range(len(stages), 0, -1)],
+        F.lit(0),
+    )
+    return frontier.withColumn(
+        "stages_completed", completed.cast("int")
+    )
