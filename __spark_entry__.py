@@ -1242,6 +1242,58 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   stages=["signup", "click", "purchase"])
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over the events stream (the synthetic
+    events span one month, so day is the informative granularity):
+    (user, day) activity collapses via DISTINCT before any join,
+    cohort sizes are a broadcast dim — hot users cost one row per
+    active day."""
+    from document_parser_private_spark.operators.funnel import (
+        cohort_retention,
+    )
+    return cohort_retention(_tbl(spark, sf_dir, "events"),
+                            granularity="day")
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over a
+    deterministic synthetic link graph on documents (undirected edges
+    doc -> doc+{1,2,4} mod N — triangle-rich by construction). Degree
+    orientation bounds wedge generation at O(m^1.5) regardless of hub
+    skew; each triangle found once at its lowest-(deg,id) apex."""
+    from document_parser_private_spark.operators.graph import (
+        triangle_count,
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[F.pmod(F.col("doc_id") + k, F.lit(n)) for k in (1, 2, 4)]
+            )
+        ).alias("dst"),
+    )
+    tc = triangle_count(edges)
+    return tc.select(F.col("node").alias("doc_id"), "degree",
+                     "triangles", "clustering")
+
+
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val split: near-dup clusters (from
+    dedup_clusters min-label propagation) are assigned to a side
+    WHOLE, by md5 bucket of the cluster id — a val doc can never have
+    a near-duplicate in train, and reruns are bit-identical."""
+    from document_parser_private_spark.operators.dedup import (
+        dedup_clusters,
+    )
+    from document_parser_private_spark.operators.trainprep import (
+        cluster_split,
+    )
+    clusters = dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    return cluster_split(clusters, val_frac=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -1314,6 +1366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_stats": _q_lexical_stats,
         "weighted_sample": _q_weighted_sample,
         "event_funnel": _q_event_funnel,
+        "triangle_count": _q_triangle_count,
+        "cluster_split": _q_cluster_split,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -3170,6 +3225,95 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM events
+), per AS (
+  SELECT f.cohort,
+         datediff('day', f.cohort, a.p) AS age,
+         count(*) AS active_users
+  FROM a JOIN f USING (user_id) GROUP BY 1, 2
+), s AS (
+  SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1
+)
+SELECT CAST(per.cohort AS DATE) AS cohort,
+       CAST(age AS INTEGER) AS age,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(active_users * 1.0 / cohort_size, 6) AS retention_rate
+FROM per JOIN s USING (cohort)
+"""
+
+
+# Degree-oriented triangle enumeration (same orientation rule as the
+# Spark side: lower (degree, id) endpoint -> higher; wedge pairs of
+# out-neighbors closed by an oriented edge, so each triangle appears
+# exactly once at its lowest-rank apex).
+_TRIANGLE_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS s, (doc_id + d.d) % (SELECT n FROM nn) AS t
+  FROM documents, (VALUES (1), (2), (4)) d(d)
+),
+e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS vdeg
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+tri AS (
+  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+  FROM o o1
+  JOIN o o2 ON o1.u = o2.u
+    AND (o1.vdeg < o2.vdeg OR (o1.vdeg = o2.vdeg AND o1.v < o2.v))
+  JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
+),
+cnt AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node AS doc_id, CAST(d.deg AS INTEGER) AS degree,
+       CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2 THEN
+         round(coalesce(c.triangles, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+       END AS clustering
+FROM deg d LEFT JOIN cnt c ON c.node = d.node
+"""
+
+
+def _cluster_split_sql() -> str:
+    """Wraps the dedup_clusters twin with the md5 sample-bucket split
+    (same first-8-hex contract as stratified_sample)."""
+    from document_parser_private_spark.operators.curation import (
+        SAMPLE_BUCKETS,
+    )
+    cut = int(0.1 * SAMPLE_BUCKETS)
+    return f"""
+SELECT doc_id, cluster_id,
+  CASE WHEN (CAST('0x' || substr(md5(cluster_id::VARCHAR), 1, 8) AS BIGINT)
+             % {SAMPLE_BUCKETS}) < {cut}
+       THEN 'val' ELSE 'train' END AS split
+FROM ({_dedup_clusters_sql()})
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
@@ -3195,6 +3339,9 @@ def oracle_sql() -> dict[str, str]:
         "lexical_stats": _LEXICAL_STATS_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "event_funnel": _EVENT_FUNNEL_SQL,
+        "triangle_count": _TRIANGLE_SQL,
+        "cluster_split": _cluster_split_sql(),
+        "cohort_retention": _COHORT_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

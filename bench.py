@@ -124,6 +124,8 @@ def main() -> None:
         "mixture_sample",
         "bpe_tokens", "quantile_sketch", "incident_window_join",
         "bloom_prune", "lexical_stats",
+        "weighted_sample", "event_funnel", "triangle_count",
+        "cohort_retention",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 

@@ -23,6 +23,10 @@ Greedy-earliest is exactly right: taking the earliest valid timestamp
 at each stage dominates any other choice (it can only admit a superset
 of later-stage matches), so `stage_ts[i] IS NOT NULL` == "user
 completed stages 0..i in order".
+
+Reference scope note: the reference engine has no event-stream
+analytics (verified); beyond-reference tier alongside the events-table
+sessionization/as-of/window operators.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "cohort_retention"]
 
 
 def funnel(events: DataFrame, stages: Sequence[str],
@@ -69,4 +73,52 @@ def funnel(events: DataFrame, stages: Sequence[str],
     )
     return frontier.withColumn(
         "stages_completed", completed.cast("int")
+    )
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     granularity: str = "month") -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period
+    (month or day) of their first event; a cohort's age-k cell counts
+    how many of its users were active (any event) k periods later.
+
+    Scale shape: (user, period) activity is collapsed with DISTINCT
+    before anything else, so a user firing a million events in a
+    period contributes ONE row downstream; the cohort join is
+    user-keyed (co-partitioned with the activity collapse), and the
+    final cohort_size join is a broadcast — cohorts are a
+    calendar-sized dim no matter how many users exist.
+    """
+    if granularity not in ("month", "day"):
+        raise ValueError("granularity must be 'month' or 'day'")
+    period = F.date_trunc(granularity, F.col(ts_col))
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(period).alias("cohort"))
+    )
+    activity = events.select(F.col(user_col), period.alias("p")).distinct()
+    if granularity == "month":
+        age = F.months_between(F.col("p"), F.col("cohort")).cast("int")
+    else:
+        age = F.datediff(F.col("p"), F.col("cohort")).cast("int")
+    per = (
+        activity.join(first, user_col)
+        .groupBy("cohort", age.alias("age"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "age",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("active_users") * 1.0 / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
     )

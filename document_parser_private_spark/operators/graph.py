@@ -27,7 +27,7 @@ signals for web corpora).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PAGERANK_DAMPING = 0.85
@@ -115,3 +115,90 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
     return out
+
+
+def _rank_lt(da: Column, a: Column, db: Column, b: Column) -> Column:
+    """Total order on nodes by (degree, id) — the orientation key."""
+    return (da < db) | ((da == db) & (a < b))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected simple graph (direction/duplicates/self-loops in the
+    input are canonicalized away first).
+
+    Scale shape — the naive 3-way edge self-join enumerates every
+    triangle 6x and, worse, builds wedges at hub nodes: a degree-1M
+    node contributes 5*10^11 wedge rows. Degree orientation (Cohen
+    2009 / Suri-Vassilvitskii 2011, PAPERS.md) fixes both: orient each
+    edge from the lower (degree, id) endpoint to the higher, making a
+    DAG whose max out-degree is O(sqrt(m)); wedges are pairs of
+    OUT-neighbors only, so total wedge rows are bounded by O(m^1.5)
+    regardless of hub skew, and each triangle is found exactly once
+    (at its lowest-rank apex). Three hash joins, all on node keys —
+    no driver-side state, no per-node buffers.
+
+    Returns (node, degree, triangles, clustering); clustering is
+    2*t / (deg*(deg-1)) rounded to 6, NULL for degree < 2.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    a_first = _rank_lt(F.col("dega"), F.col("a"),
+                       F.col("degb"), F.col("b"))
+    o = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("degb")).otherwise(F.col("dega"))
+            .alias("vdeg"),
+        )
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("y"),
+                  F.col("vdeg").alias("ydeg"))
+    o2 = o.select(F.col("u"), F.col("v").alias("z"),
+                  F.col("vdeg").alias("zdeg"))
+    wedges = o1.join(o2, "u").where(
+        _rank_lt(F.col("ydeg"), F.col("y"), F.col("zdeg"), F.col("z"))
+    )
+    # closing edge between y and z is oriented y->z (y has lower rank)
+    closer = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closer, ["y", "z"]).select("u", "y", "z")
+    cnt = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(cnt, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("int").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.coalesce("triangles", F.lit(0)) * 2.0
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )

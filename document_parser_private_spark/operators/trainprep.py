@@ -45,7 +45,7 @@ from ..functions.bind import bind_once
 from .textstats import WORD_RE
 
 __all__ = ["repetition_stats", "decontaminate", "chunk_documents",
-           "pack_sequences"]
+           "pack_sequences", "cluster_split"]
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -314,4 +314,32 @@ def pack_sequences(chunks: DataFrame, budget_tokens: int = 512,
         F.col("e.n").alias(tok_col),
         F.col("e.seq").alias("seq_id"),
         F.col("e.pos").alias("seq_pos"),
+    )
+
+
+def cluster_split(df: DataFrame, val_frac: float = 0.1,
+                  cluster_col: str = "cluster_id",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Contamination-safe train/validation split: the split is decided
+    per near-dup CLUSTER, not per document, so a validation document
+    can never have a near-duplicate in the training set (splitting
+    rows independently leaks every duplicated document across the
+    boundary — the standard eval-inflation bug).
+
+    Deterministic like stratified_sample: split = 'val' iff the md5
+    sample bucket of the cluster id < val_frac * buckets. No RNG —
+    rerun-identical and resume-safe; adding documents to a cluster
+    never flips the cluster's side.
+
+    Scale shape: one codegen projection over (doc, cluster) — the
+    cluster assignment itself comes from dedup_clusters (min-label
+    propagation); this adds NO shuffle on top of it.
+    """
+    from .curation import SAMPLE_BUCKETS, sample_bucket_col
+
+    cut = int(val_frac * SAMPLE_BUCKETS)
+    return df.select(
+        key_col, cluster_col,
+        F.when(sample_bucket_col(F.col(cluster_col)) < F.lit(cut),
+               F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )

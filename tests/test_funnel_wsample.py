@@ -98,3 +98,49 @@ def test_weighted_sample_skew_and_determinism(spark):
     b = sorted(r.doc_id for r in weighted_sample(
         df, k=10, weight_col="w", group_cols=["source"]).collect())
     assert a == b and len(a) == 10 and 9999 not in a
+
+
+# --------------------------------------------------------- cohort_retention
+
+def test_cohort_retention_matches_bruteforce(spark):
+    import datetime as dt
+    from collections import defaultdict
+
+    from document_parser_private_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    rng = random.Random(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(800):
+        u = rng.randrange(40)
+        ts = base + dt.timedelta(days=rng.randrange(20),
+                                 seconds=rng.randrange(86400))
+        rows.append((u, ts))
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+
+    first = {}
+    active = defaultdict(set)
+    for u, ts in rows:
+        d = ts.date()
+        first[u] = min(first.get(u, d), d)
+        active[u].add(d)
+    per = defaultdict(int)
+    size = defaultdict(int)
+    for u, c in first.items():
+        size[c] += 1
+    for u, days in active.items():
+        for d in days:
+            per[(first[u], (d - first[u]).days)] += 1
+    want = {
+        (c, age): (n, size[c], round(n / size[c], 6))
+        for (c, age), n in per.items()
+    }
+    got = {
+        (r.cohort, r.age):
+            (r.active_users, r.cohort_size, r.retention_rate)
+        for r in cohort_retention(ev, granularity="day").collect()
+    }
+    assert got == want
+    assert all(age == 0 or v[2] <= 1.0 for (c, age), v in got.items())

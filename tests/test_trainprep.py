@@ -200,3 +200,41 @@ def test_pack_sequences_matches_python(spark):
         for idx, seq, pos in _py_pack(ch, 128)
     }
     assert got == expect
+
+
+# ------------------------------------------------------------ cluster_split
+
+def test_cluster_split_is_cluster_atomic_and_portable(spark):
+    import hashlib
+    from document_parser_private_spark.operators.curation import (
+        SAMPLE_BUCKETS,
+    )
+    from document_parser_private_spark.operators.trainprep import (
+        cluster_split,
+    )
+    # 200 docs in 60 clusters of mixed sizes
+    rows, cid = [], 0
+    i = 0
+    while i < 200:
+        size = (cid % 5) + 1
+        for j in range(size):
+            if i + j < 200:
+                rows.append((i + j, cid))
+        i += size
+        cid += 1
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = cluster_split(df, val_frac=0.25).collect()
+    assert len(out) == len(rows)
+    # cluster atomicity: one side per cluster
+    sides = {}
+    for r in out:
+        sides.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())
+    # portable hash contract (mirrors the DuckDB twin bit for bit)
+    cut = int(0.25 * SAMPLE_BUCKETS)
+    for c, s in sides.items():
+        b = int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) \
+            % SAMPLE_BUCKETS
+        assert s == {"val" if b < cut else "train"}, c
+    # both sides non-empty at this frac/corpus
+    assert {r["split"] for r in out} == {"train", "val"}
