@@ -1294,6 +1294,20 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(clusters, val_frac=0.1)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication coverage (Lee et al. 2022): rolling
+    10-token windows hashed, windows occurring >= 2x anywhere in the
+    corpus flagged, overlapping flagged windows merged into maximal
+    per-doc duplicated regions. Catches boilerplate paragraphs inside
+    otherwise-unique documents, which doc-level dedup misses."""
+    from document_parser_private_spark.operators.trainprep import (
+        duplicated_substrings,
+    )
+    return duplicated_substrings(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contact_extract": _q_contact_extract,
@@ -1369,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "cluster_split": _q_cluster_split,
         "cohort_retention": _q_cohort_retention,
+        "substring_dedup": _q_substring_dedup,
     }
 
 
@@ -2450,6 +2465,60 @@ SELECT doc_id,
 FROM e
 """
 
+# Rolling 10-token window hashes; dup = occurs >= 2x corpus-wide;
+# overlapping dup windows merge via gaps-and-islands (new region when
+# pos - lag(pos) > 10, i.e. the previous window's coverage [p, p+9]
+# no longer touches this one).
+_SUBSTRING_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_SQL}') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks) AS n, toks FROM w
+), wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i + 9], ' ')) AS gh
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 9)) AS i
+        FROM t WHERE n >= 10)
+), occ AS (
+  SELECT gh FROM (SELECT gh, count(*) AS c FROM wins GROUP BY 1)
+  WHERE c >= 2
+), d AS (
+  SELECT doc_id, pos FROM wins JOIN occ USING (gh)
+), fl AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 > 10
+         THEN 1 ELSE 0 END AS f
+  FROM d
+), rid AS (
+  SELECT doc_id, pos,
+    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS r
+  FROM fl
+), reg AS (
+  SELECT doc_id, r, min(pos) AS s, max(pos) AS e FROM rid GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, count(*) AS n_dup_regions,
+         sum(e - s + 10) AS dup_tokens
+  FROM reg GROUP BY 1
+), nw AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM d GROUP BY 1
+)
+SELECT t.doc_id,
+  t.n::BIGINT AS n_tokens,
+  greatest(t.n - 9, 0)::BIGINT AS n_windows,
+  coalesce(nw.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+  coalesce(pd.n_dup_regions, 0)::BIGINT AS n_dup_regions,
+  coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+  round(coalesce(pd.dup_tokens, 0) / greatest(t.n, 1), 6)
+    AS dup_token_frac
+FROM t LEFT JOIN nw USING (doc_id) LEFT JOIN pd USING (doc_id)
+"""
+
+
 _EVENT_ASOF_SQL = """
 SELECT l.event_id, l.user_id, l.ts,
   m.ts AS m_ts, m.event_id AS m_event_id, m.value AS m_value
@@ -3342,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRIANGLE_SQL,
         "cluster_split": _cluster_split_sql(),
         "cohort_retention": _COHORT_SQL,
+        "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "chunk_documents": _CHUNK_SQL,

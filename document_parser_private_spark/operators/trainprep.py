@@ -45,7 +45,7 @@ from ..functions.bind import bind_once
 from .textstats import WORD_RE
 
 __all__ = ["repetition_stats", "decontaminate", "chunk_documents",
-           "pack_sequences", "cluster_split"]
+           "pack_sequences", "cluster_split", "duplicated_substrings"]
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -342,4 +342,105 @@ def cluster_split(df: DataFrame, val_frac: float = 0.1,
         key_col, cluster_col,
         F.when(sample_bucket_col(F.col(cluster_col)) < F.lit(cut),
                F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def duplicated_substrings(df: DataFrame, n: int = 10,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    PAPERS.md): a token n-gram window is DUPLICATED when the identical
+    window occurs anywhere else in the corpus (another doc or the same
+    doc again); per document, overlapping duplicated windows merge into
+    maximal duplicated regions and the output reports how much of the
+    document they cover. Document-level dedup (exact/MinHash) misses
+    exactly this: a unique page quoting a boilerplate paragraph.
+
+    Output per doc: n_tokens, n_windows, n_dup_windows, n_dup_regions,
+    dup_tokens (tokens covered by merged duplicated regions),
+    dup_token_frac. Docs with < n tokens report zero windows.
+
+    Scale shape (100 TB posture): windows travel as (doc_id, pos,
+    md5-hash) — never text; the occurrence count is one gh-keyed
+    aggregation with map-side partials; the dup flag comes back via a
+    gh-keyed hash join BETWEEN the two biggest intermediates, both
+    already partitioned by gh from the agg (AQE reuses the exchange).
+    Region merging is classic gaps-and-islands over (doc, pos) — one
+    doc-keyed window sort, then codegen aggregates. Nothing is ever
+    quadratic and no per-doc state leaves its partition.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+    wins_expr = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.struct(
+                    (i - 1).cast("int").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(t, i, n))).alias("gh"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<pos:int,gh:string>>")
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        wins_expr.alias("_w"),
+    )
+    wins = base.select(
+        id_col, F.explode("_w").alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    occ = wins.groupBy("gh").agg(F.count(F.lit(1)).alias("_occ"))
+    dup = wins.join(occ.where(F.col("_occ") >= 2).select("gh"), "gh")
+
+    from pyspark.sql import Window
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.select(
+        id_col, "pos",
+        F.when(
+            F.lag("pos").over(wd).isNull()
+            | (F.col("pos") - F.lag("pos").over(wd) > n),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("_new"),
+    )
+    rid = flagged.select(
+        id_col, "pos",
+        F.sum("_new").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_rid"),
+    )
+    regions = rid.groupBy(id_col, "_rid").agg(
+        F.min("pos").alias("_s"), F.max("pos").alias("_e")
+    )
+    per_doc = regions.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_regions"),
+        F.sum(F.col("_e") - F.col("_s") + n).alias("dup_tokens"),
+    )
+    ndw = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    return (
+        base.select(
+            id_col, "n_tokens",
+            F.greatest(F.col("n_tokens") - (n - 1), F.lit(0))
+            .cast("long").alias("n_windows"),
+        )
+        .join(ndw, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col, "n_tokens", "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("n_dup_regions", F.lit(0)).cast("long")
+            .alias("n_dup_regions"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
     )

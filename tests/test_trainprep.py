@@ -238,3 +238,90 @@ def test_cluster_split_is_cluster_atomic_and_portable(spark):
         assert s == {"val" if b < cut else "train"}, c
     # both sides non-empty at this frac/corpus
     assert {r["split"] for r in out} == {"train", "val"}
+
+
+def _py_substring_dedup(docs, n=10):
+    """Naive reference: hash every n-token window, flag windows whose
+    exact window text occurs >= 2x corpus-wide, merge overlapping
+    flagged windows into regions per doc."""
+    wins = {}   # doc_id -> [(pos, key)]
+    occ = Counter()
+    for doc_id, text in docs:
+        toks = _TOK.findall(text)
+        ws = [(i, " ".join(toks[i:i + n]))
+              for i in range(max(len(toks) - n + 1, 0))]
+        wins[doc_id] = (len(toks), ws)
+        for _, k in ws:
+            occ[k] += 1
+    out = {}
+    for doc_id, (ntok, ws) in wins.items():
+        dup = sorted(p for p, k in ws if occ[k] >= 2)
+        regions = []
+        for p in dup:
+            if regions and p - regions[-1][1] <= n:
+                regions[-1][1] = p
+            else:
+                regions.append([p, p])
+        dup_tokens = sum(e - s + n for s, e in regions)
+        out[doc_id] = {
+            "n_tokens": ntok,
+            "n_windows": max(ntok - n + 1, 0),
+            "n_dup_windows": len(dup),
+            "n_dup_regions": len(regions),
+            "dup_tokens": dup_tokens,
+            "dup_token_frac": round(dup_tokens / max(ntok, 1), 6),
+        }
+    return out
+
+
+def test_duplicated_substrings_handcrafted(spark):
+    from document_parser_private_spark.operators.trainprep import (
+        duplicated_substrings,
+    )
+    boiler = "terms of service apply to all visitors of this site"
+    docs = [
+        # shares the 10-token boilerplate with doc b inside unique text
+        ("a", "alpha beta gamma " + boiler + " delta epsilon zeta"),
+        ("b", "one two three four five " + boiler),
+        # within-doc repeat: same 10-token run twice in one doc
+        ("c", " ".join(["w%d" % (i % 10) for i in range(30)])),
+        # too short for any window
+        ("d", "tiny doc"),
+        # exactly 10 tokens, unique -> 1 window, 0 dups
+        ("e", " ".join("u%d" % i for i in range(10))),
+    ]
+    exp = _py_substring_dedup(docs, n=10)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in duplicated_substrings(df, n=10).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == {"doc_id": k, **exp[k]}, k
+    # sanity on intent: the boilerplate quote is caught, short doc is 0
+    assert got["a"]["n_dup_regions"] == 1
+    assert got["a"]["dup_tokens"] == 10
+    assert got["d"]["n_windows"] == 0
+    assert got["e"]["n_dup_windows"] == 0
+
+
+def test_duplicated_substrings_random_parity(spark):
+    import random
+
+    from document_parser_private_spark.operators.trainprep import (
+        duplicated_substrings,
+    )
+    rng = random.Random(13)
+    vocab = ["tok%d" % i for i in range(12)]  # tiny vocab -> collisions
+    docs = [
+        ("doc%03d" % i,
+         " ".join(rng.choice(vocab)
+                  for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    exp = _py_substring_dedup(docs, n=5)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in duplicated_substrings(df, n=5).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == {"doc_id": k, **exp[k]}, k
