@@ -125,7 +125,7 @@ def main() -> None:
         "bpe_tokens", "quantile_sketch", "incident_window_join",
         "bloom_prune", "lexical_stats",
         "weighted_sample", "event_funnel", "triangle_count",
-        "cohort_retention",
+        "cohort_retention", "substring_dedup",
     ):
         timings[name] = timed_min(lambda: force(qs[name](spark, sf_dir)))
 
