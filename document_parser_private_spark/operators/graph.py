@@ -131,14 +131,20 @@ def triangle_count(
 
     Scale shape — the naive 3-way edge self-join enumerates every
     triangle 6x and, worse, builds wedges at hub nodes: a degree-1M
-    node contributes 5*10^11 wedge rows. Degree orientation (Cohen
-    2009 / Suri-Vassilvitskii 2011, PAPERS.md) fixes both: orient each
-    edge from the lower (degree, id) endpoint to the higher, making a
-    DAG whose max out-degree is O(sqrt(m)); wedges are pairs of
-    OUT-neighbors only, so total wedge rows are bounded by O(m^1.5)
+    node contributes 5*10^11 wedge rows. Degree orientation (public
+    papers: Cohen 2009; Suri & Vassilvitskii 2011) fixes both: orient
+    each edge from the lower (degree, id) endpoint to the higher,
+    making a DAG whose max out-degree is O(sqrt(m)); wedges are pairs
+    of OUT-neighbors only, so total wedge rows are bounded by O(m^1.5)
     regardless of hub skew, and each triangle is found exactly once
     (at its lowest-rank apex). Three hash joins, all on node keys —
-    no driver-side state, no per-node buffers.
+    no driver-side state, no per-node buffers. `e`, `deg`, and the
+    oriented list `o` are each consumed by 3 downstream branches, so
+    they are persisted for the call (a DataFrame DAG re-computes a
+    subtree once PER REFERENCE — unpersisted, the plan held 91
+    exchanges and re-scanned the edge list ~9x; PLANS.md §21) and the
+    result is materialized with an eager localCheckpoint so the caches
+    can be released before returning, mirroring pagerank.
 
     Returns (node, degree, triangles, clustering); clustering is
     2*t / (deg*(deg-1)) rounded to 6, NULL for degree < 2.
@@ -148,12 +154,14 @@ def triangle_count(
         edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
@@ -167,38 +175,48 @@ def triangle_count(
             F.when(a_first, F.col("degb")).otherwise(F.col("dega"))
             .alias("vdeg"),
         )
+        .persist()
     )
-    o1 = o.select(F.col("u"), F.col("v").alias("y"),
-                  F.col("vdeg").alias("ydeg"))
-    o2 = o.select(F.col("u"), F.col("v").alias("z"),
-                  F.col("vdeg").alias("zdeg"))
-    wedges = o1.join(o2, "u").where(
-        _rank_lt(F.col("ydeg"), F.col("y"), F.col("zdeg"), F.col("z"))
-    )
-    # closing edge between y and z is oriented y->z (y has lower rank)
-    closer = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    tri = wedges.join(closer, ["y", "z"]).select("u", "y", "z")
-    cnt = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    return (
-        deg.join(cnt, "node", "left")
-        .select(
-            "node",
-            F.col("deg").cast("int").alias("degree"),
-            F.coalesce("triangles", F.lit(0)).cast("long")
-            .alias("triangles"),
-            F.when(
-                F.col("deg") >= 2,
-                F.round(
-                    F.coalesce("triangles", F.lit(0)) * 2.0
-                    / (F.col("deg") * (F.col("deg") - 1)),
-                    6,
-                ),
-            ).alias("clustering"),
+    try:
+        o1 = o.select(F.col("u"), F.col("v").alias("y"),
+                      F.col("vdeg").alias("ydeg"))
+        o2 = o.select(F.col("u"), F.col("v").alias("z"),
+                      F.col("vdeg").alias("zdeg"))
+        wedges = o1.join(o2, "u").where(
+            _rank_lt(F.col("ydeg"), F.col("y"), F.col("zdeg"), F.col("z"))
         )
-    )
+        # closing edge between y and z is oriented y->z (lower rank)
+        closer = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+        tri = wedges.join(closer, ["y", "z"]).select("u", "y", "z")
+        cnt = (
+            tri.select(F.col("u").alias("node"))
+            .unionAll(tri.select(F.col("y").alias("node")))
+            .unionAll(tri.select(F.col("z").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        out = (
+            deg.join(cnt, "node", "left")
+            .select(
+                "node",
+                F.col("deg").cast("int").alias("degree"),
+                F.coalesce("triangles", F.lit(0)).cast("long")
+                .alias("triangles"),
+                F.when(
+                    F.col("deg") >= 2,
+                    F.round(
+                        F.coalesce("triangles", F.lit(0)) * 2.0
+                        / (F.col("deg") * (F.col("deg") - 1)),
+                        6,
+                    ),
+                ).alias("clustering"),
+            )
+        )
+        # Eager checkpoint cuts the lineage back to e/deg/o so they
+        # can be released here instead of for the session's lifetime.
+        out = out.localCheckpoint()
+    finally:
+        e.unpersist()
+        deg.unpersist()
+        o.unpersist()
+    return out

@@ -348,9 +348,9 @@ def cluster_split(df: DataFrame, val_frac: float = 0.1,
 def duplicated_substrings(df: DataFrame, n: int = 10,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
-    """Substring-level duplication signal (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better",
-    PAPERS.md): a token n-gram window is DUPLICATED when the identical
+    """Substring-level duplication signal (public paper: Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    ACL): a token n-gram window is DUPLICATED when the identical
     window occurs anywhere else in the corpus (another doc or the same
     doc again); per document, overlapping duplicated windows merge into
     maximal duplicated regions and the output reports how much of the
