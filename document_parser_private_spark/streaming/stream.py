@@ -242,3 +242,97 @@ def run_stream_dedup_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel (training-data / event-analytics op)
+# ---------------------------------------------------------------------------
+
+def _funnel_fn_factory(stages):
+    """Build the applyInPandasWithState function for `funnel_stream`.
+
+    State per user = one epoch-nanosecond long per stage (0 = unset) —
+    O(n_stages) constant, never grows with event volume. The greedy
+    frontier is exact under event-time-ordered delivery: processing
+    events sorted by (ts, stage_idx), a stage-i event is admitted iff
+    t_{i-1} is set and ts >= t_{i-1}, which reproduces the batch
+    operator's min-per-stage recursion (funnel.py) because the first
+    qualifying event seen in ts order IS the minimum. Set timestamps
+    are immutable, so the deepest emitted snapshot per user equals the
+    final state.
+    """
+    n = len(stages)
+    idx = {s: i for i, s in enumerate(stages)}
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd  # local import: runs on python workers
+
+        (user_id,) = key
+        ts = list(state.get) if state.exists else [0] * n
+        rows = []
+        for pdf in pdf_iter:
+            ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            for t, st in zip(ns, pdf["event_type"]):
+                i = idx.get(st)
+                if i is not None:
+                    rows.append((int(t), i))
+        rows.sort()
+        for t, i in rows:
+            if ts[i] == 0 and (i == 0 or (ts[i - 1] != 0
+                                          and t >= ts[i - 1])):
+                ts[i] = t
+        state.update(tuple(ts))
+        completed = 0
+        for i in range(n):
+            if ts[i] == 0:
+                break
+            completed = i + 1
+        if ts[0] != 0:
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                **{
+                    f"t{i + 1}": (pd.Timestamp(ts[i], unit="ns")
+                                  if ts[i] else pd.NaT)
+                    for i in range(n)
+                },
+                "stages_completed": completed,
+            }])
+
+    return fn
+
+
+def funnel_stream(events: DataFrame, stages,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of `operators.funnel.funnel`: per-user ordered
+    funnel maintained incrementally as a custom stateful operator
+    (applyInPandasWithState, update mode). Each micro-batch emits the
+    user's current frontier snapshot; set stage timestamps never
+    change, so the deepest snapshot per user equals the batch funnel
+    over the same events (replay-equality pinned in
+    tests/test_streaming.py).
+
+    Scale shape: state is n_stages longs per user sharded by user_id
+    across executors; events cross one exchange (the groupBy) and are
+    never buffered beyond the in-flight micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stages = list(stages)
+    if not stages:
+        raise ValueError("funnel_stream needs at least one stage")
+    out_ddl = "user_id long, " + ", ".join(
+        f"t{i + 1} timestamp" for i in range(len(stages))
+    ) + ", stages_completed int"
+    state_ddl = ", ".join(f"ts{i} long" for i in range(len(stages)))
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn_factory(stages),
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -209,3 +209,93 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     assert got == exp
     # u1 closes two, u2 closes two, u3's idle trailing session flushes
     assert len(exp) == 5
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Replay-equality for the streaming funnel (r5): events delivered
+    in event-time order across THREE micro-batches (maxFilesPerTrigger
+    = 1, one parquet file per time slice) must leave per-user frontier
+    state equal to the batch greedy-earliest funnel over the union —
+    including a stage-2 event that only qualifies because stage 1 was
+    completed in an EARLIER micro-batch, a same-timestamp tie (>= rule),
+    and a user who never starts."""
+    import datetime as dt
+    from document_parser_private_spark.operators.funnel import funnel
+    from document_parser_private_spark.streaming.stream import (
+        funnel_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def at(minute):
+        return base + dt.timedelta(minutes=minute)
+
+    stages = ["signup", "click", "purchase"]
+    # (user, type, minute) — crafted cross-batch dependencies
+    slices = [
+        [   # batch 1
+            (1, "signup", 0),
+            (2, "click", 1),      # pre-signup click: must never count
+            (3, "click", 2),      # user 3 never signs up
+            (4, "signup", 3),
+        ],
+        [   # batch 2
+            (1, "click", 10),     # qualifies: signup landed in batch 1
+            (2, "signup", 11),
+            (4, "click", 3),      # same-ts tie with signup@3 (>= rule)
+        ],
+        [   # batch 3
+            (1, "purchase", 20),
+            (2, "click", 12),
+            (2, "purchase", 11),  # before its click: must not count
+            (4, "purchase", 30),
+        ],
+    ]
+    in_dir = tmp_path / "funnel_in"
+    in_dir.mkdir()
+    all_rows = []
+    for k, sl in enumerate(slices):
+        rows = [(u, t, at(m)) for (u, t, m) in sl]
+        all_rows.extend(rows)
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.parquet(str(in_dir / f"slice{k}"))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, "
+                                "ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/slice*")
+    )
+    q = (
+        funnel_stream(stream, stages)
+        .writeStream.format("memory").queryName("funnel_parity")
+        .outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    snaps = spark.sql("select * from funnel_parity").collect()
+    # deepest snapshot per user == final state (set ts are immutable)
+    got = {}
+    for r in snaps:
+        cur = got.get(r["user_id"])
+        if cur is None or r["stages_completed"] > cur["stages_completed"]:
+            got[r["user_id"]] = r
+    got = {
+        u: (r["t1"], r["t2"], r["t3"], r["stages_completed"])
+        for u, r in got.items()
+    }
+
+    batch_df = spark.createDataFrame(
+        all_rows, "user_id long, event_type string, ts timestamp"
+    )
+    exp = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"], r["stages_completed"])
+        for r in funnel(batch_df, stages).collect()
+    }
+    assert got == exp
+    # pin the crafted semantics so the fixture can't silently degrade
+    assert exp[1][3] == 3            # full funnel across 3 batches
+    assert exp[2][3] == 2            # pre-signup click + early purchase
+    assert exp[4][1] == at(3)        # same-timestamp tie admitted
+    assert 3 not in exp              # never signed up -> no row
