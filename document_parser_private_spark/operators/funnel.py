@@ -49,31 +49,47 @@ def funnel(events: DataFrame, stages: Sequence[str],
     stages = list(stages)
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    # Each iteration references the previous frontier TWICE (the nxt
+    # aggregation and the left join) — unpersisted, Catalyst inlines
+    # the subtree per reference and the events table is re-scanned
+    # 2^(n_stages-1) times (14 scans for 3 stages; PLANS.md §21).
+    # Persist each frontier (user-level rows, tiny next to events),
+    # materialize the result with an eager localCheckpoint, release
+    # the caches before returning — the pagerank/triangle pattern.
     frontier = (
         events.where(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t1"))
+        .persist()
     )
-    for i, stage in enumerate(stages[1:], start=2):
-        nxt = (
-            events.where(F.col(type_col) == stage)
-            .select(user_col, F.col(ts_col).alias("_f_ts"))
-            .join(frontier.select(user_col, F.col(f"t{i - 1}")), user_col)
-            .where(F.col("_f_ts") >= F.col(f"t{i - 1}"))
-            .groupBy(user_col)
-            .agg(F.min("_f_ts").alias(f"t{i}"))
-            .select(user_col, f"t{i}")
+    cached = [frontier]
+    try:
+        for i, stage in enumerate(stages[1:], start=2):
+            nxt = (
+                events.where(F.col(type_col) == stage)
+                .select(user_col, F.col(ts_col).alias("_f_ts"))
+                .join(frontier.select(user_col, F.col(f"t{i - 1}")),
+                      user_col)
+                .where(F.col("_f_ts") >= F.col(f"t{i - 1}"))
+                .groupBy(user_col)
+                .agg(F.min("_f_ts").alias(f"t{i}"))
+                .select(user_col, f"t{i}")
+            )
+            frontier = frontier.join(nxt, user_col, "left").persist()
+            cached.append(frontier)
+        # deepest non-null stage wins: test greatest-first
+        completed = F.coalesce(
+            *[F.when(F.col(f"t{i}").isNotNull(), F.lit(i))
+              for i in range(len(stages), 0, -1)],
+            F.lit(0),
         )
-        frontier = frontier.join(nxt, user_col, "left")
-    # deepest non-null stage wins: test greatest-first
-    completed = F.coalesce(
-        *[F.when(F.col(f"t{i}").isNotNull(), F.lit(i))
-          for i in range(len(stages), 0, -1)],
-        F.lit(0),
-    )
-    return frontier.withColumn(
-        "stages_completed", completed.cast("int")
-    )
+        out = frontier.withColumn(
+            "stages_completed", completed.cast("int")
+        ).localCheckpoint()
+    finally:
+        for c in cached:
+            c.unpersist()
+    return out
 
 
 def cohort_retention(events: DataFrame, user_col: str = "user_id",
