@@ -396,32 +396,51 @@ def jaccard_on_candidates(df: DataFrame, id_col: str = "doc_id",
     candidate pairs -> EXACT token-Jaccard verification on candidates
     only. The all-pairs work never happens; per-pair array ops are fine
     here because LSH keeps the candidate set ~linear in corpus size."""
-    pairs = minhash_candidates(df, id_col=id_col, text_col=text_col)
-    # Tokenize ONLY docs that appear in some candidate pair (semi-join
-    # prune): LSH keeps candidates ~linear but typically touching a small
-    # fraction of the corpus, so the array_distinct/tokenize work — the
-    # expensive part of this job — skips every non-candidate doc.
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    toks = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(
-            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
-        ).alias("tok"),
-    )
-    a = toks.select(F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"))
-    b = toks.select(F.col(id_col).alias("id_b"), F.col("tok").alias("tok_b"))
-    out = (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .select(
-            "id_a", "id_b",
-            jaccard_token_col(F.col("tok_a"), F.col("tok_b")).alias("jaccard"),
+    # `pairs` is consumed 3x (both cand_ids legs + the verify join) and
+    # `toks` 2x (pair sides) — persist them or the whole minhash+band
+    # pipeline re-derives per reference (was 17 corpus scans; PLANS.md
+    # §21), then eager-checkpoint the result and release the caches.
+    pairs = minhash_candidates(df, id_col=id_col, text_col=text_col) \
+        .persist()
+    toks = None
+    try:
+        # Tokenize ONLY docs that appear in some candidate pair
+        # (semi-join prune): LSH keeps candidates ~linear but typically
+        # touching a small fraction of the corpus, so the
+        # array_distinct/tokenize work — the expensive part of this job
+        # — skips every non-candidate doc.
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-    )
-    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+        toks = df.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col),
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
+                                     F.lit(0))
+            ).alias("tok"),
+        ).persist()
+        a = toks.select(F.col(id_col).alias("id_a"),
+                        F.col("tok").alias("tok_a"))
+        b = toks.select(F.col(id_col).alias("id_b"),
+                        F.col("tok").alias("tok_b"))
+        out = (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .select(
+                "id_a", "id_b",
+                jaccard_token_col(F.col("tok_a"), F.col("tok_b"))
+                .alias("jaccard"),
+            )
+        )
+        if threshold > 0:
+            out = out.where(F.col("jaccard") >= threshold)
+        out = out.localCheckpoint()
+    finally:
+        pairs.unpersist()
+        if toks is not None:
+            toks.unpersist()
+    return out
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
@@ -573,65 +592,80 @@ def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame,
     The band join shuffles only (band_idx, band_key, id); tokenization
     is semi-join-pruned to candidate representatives only.
     """
+    # nreps / rreps / cand are each consumed 3x downstream — persist
+    # them or the fingerprint collapse and the band pipeline re-derive
+    # per reference (was 11 corpus scans; PLANS.md §21); the result is
+    # eager-checkpointed so the caches can be released before return.
     fp = F.md5(F.col(text_col)).alias("fp")
     nreps = new_df.groupBy(fp).agg(
-        F.min(id_col).alias("new_id"), F.min(text_col).alias(text_col))
+        F.min(id_col).alias("new_id"),
+        F.min(text_col).alias(text_col)).persist()
     rreps = ref_df.groupBy(fp).agg(
         F.min(id_col).alias("ref_id"), F.min(text_col).alias(text_col),
-        F.count("*").alias("n_dups"))
+        F.count("*").alias("n_dups")).persist()
+    cand = None
+    try:
 
-    nb = minhash_bands_agg(nreps.select(F.col("new_id").alias(id_col),
-                                        text_col),
-                           text_col=text_col, id_col=id_col) \
-        .withColumnRenamed(id_col, "new_id")
-    rb = minhash_bands_agg(rreps.select(F.col("ref_id").alias(id_col),
-                                        text_col),
-                           text_col=text_col, id_col=id_col) \
-        .withColumnRenamed(id_col, "ref_id")
-    cand = nb.join(rb, ["band_idx", "band_key"]) \
-        .select("new_id", "ref_id").distinct()
+        nb = minhash_bands_agg(nreps.select(F.col("new_id").alias(id_col),
+                                            text_col),
+                               text_col=text_col, id_col=id_col) \
+            .withColumnRenamed(id_col, "new_id")
+        rb = minhash_bands_agg(rreps.select(F.col("ref_id").alias(id_col),
+                                            text_col),
+                               text_col=text_col, id_col=id_col) \
+            .withColumnRenamed(id_col, "ref_id")
+        cand = nb.join(rb, ["band_idx", "band_key"]) \
+            .select("new_id", "ref_id").distinct().persist()
 
-    ntok = nreps.join(cand.select("new_id"), "new_id", "left_semi") \
-        .select(
-            F.col("new_id"),
-            F.array_distinct(
-                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
-                                     F.lit(0))
-            ).alias("tok_n"),
+        ntok = nreps.join(cand.select("new_id"), "new_id", "left_semi") \
+            .select(
+                F.col("new_id"),
+                F.array_distinct(
+                    F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
+                                         F.lit(0))
+                ).alias("tok_n"),
+            )
+        rtok = rreps.join(cand.select("ref_id"), "ref_id", "left_semi") \
+            .select(
+                F.col("ref_id"),
+                F.array_distinct(
+                    F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
+                                         F.lit(0))
+                ).alias("tok_r"),
+            )
+        jac = (
+            cand.join(ntok, "new_id").join(rtok, "ref_id")
+            .select(
+                "new_id", "ref_id",
+                jaccard_token_col(F.col("tok_n"), F.col("tok_r"))
+                .alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
         )
-    rtok = rreps.join(cand.select("ref_id"), "ref_id", "left_semi") \
-        .select(
-            F.col("ref_id"),
-            F.array_distinct(
-                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE),
-                                     F.lit(0))
-            ).alias("tok_r"),
-        )
-    jac = (
-        cand.join(ntok, "new_id").join(rtok, "ref_id")
-        .select(
-            "new_id", "ref_id",
-            jaccard_token_col(F.col("tok_n"), F.col("tok_r"))
-            .alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    matches = jac.join(rreps.select("ref_id", "n_dups"), "ref_id") \
-        .groupBy("new_id").agg(
-            F.sum("n_dups").alias("n_ref_matches"),
-            F.min("ref_id").alias("ref_id"),
-        )
-    verdict = nreps.select("fp", "new_id") \
-        .join(matches, "new_id", "left").select(
-            "fp",
-            F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("long")
-            .alias("n_ref_matches"),
-            F.col("ref_id"),
-        )
-    return new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp")) \
-        .join(verdict, "fp").select(
-            F.col(id_col),
-            F.col("n_ref_matches"),
-            F.col("ref_id"),
-            F.col("ref_id").isNotNull().alias("is_dup"),
-        )
+        matches = jac.join(rreps.select("ref_id", "n_dups"), "ref_id") \
+            .groupBy("new_id").agg(
+                F.sum("n_dups").alias("n_ref_matches"),
+                F.min("ref_id").alias("ref_id"),
+            )
+        verdict = nreps.select("fp", "new_id") \
+            .join(matches, "new_id", "left").select(
+                "fp",
+                F.coalesce(F.col("n_ref_matches"), F.lit(0)).cast("long")
+                .alias("n_ref_matches"),
+                F.col("ref_id"),
+            )
+        out = new_df.select(F.col(id_col),
+                            F.md5(F.col(text_col)).alias("fp")) \
+            .join(verdict, "fp").select(
+                F.col(id_col),
+                F.col("n_ref_matches"),
+                F.col("ref_id"),
+                F.col("ref_id").isNotNull().alias("is_dup"),
+            )
+        out = out.localCheckpoint()
+    finally:
+        nreps.unpersist()
+        rreps.unpersist()
+        if cand is not None:
+            cand.unpersist()
+    return out

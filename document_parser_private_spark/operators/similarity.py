@@ -315,69 +315,87 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.2,
         )
 
     # one representative (min id) per DISTINCT vector; copies remember it
-    reps = e.groupBy("vec").agg(F.min(id_col).alias(id_col))
-    copies = (
-        e.join(reps.select(F.col(id_col).alias("_rep"), "vec"), "vec")
-        .where(F.col(id_col) != F.col("_rep"))
-        .select(F.col(id_col), "vec", "_rep")
-    )
-
-    r = reps.withColumn("bucket", lsh_bucket_col(F.col("vec"), dim,
-                                                 n_planes))
-    stats = r.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub")
-    )
-    rs = r.join(F.broadcast(stats), "bucket")
-
-    small = rs.where(F.col("_n") <= max_bucket)
-    pa = small.select("bucket", F.col(id_col).alias("other"),
-                      F.col("vec").alias("vec_a"))
-    pb = small.select("bucket", F.col(id_col),
-                      F.col("vec").alias("vec_b"))
-    pairs_small = (
-        pa.join(pb, "bucket")
-        .where(F.col("other") < F.col(id_col))
-        .select(
-            F.col(id_col), F.col("other"),
-            cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+    # e/reps/rs/dup are each consumed 2-3x downstream — persist or the
+    # collapse/bucket subtrees re-derive per reference (was 19 corpus
+    # scans; PLANS.md §21); result eager-checkpointed, caches released.
+    e = e.persist()
+    reps = None
+    rs = None
+    dup = None
+    try:
+        reps = e.groupBy("vec").agg(F.min(id_col).alias(id_col)).persist()
+        copies = (
+            e.join(reps.select(F.col(id_col).alias("_rep"), "vec"), "vec")
+            .where(F.col(id_col) != F.col("_rep"))
+            .select(F.col(id_col), "vec", "_rep")
         )
-    )
-    hubs = rs.where(
-        (F.col("_n") > max_bucket) & (F.col(id_col) == F.col("_hub"))
-    ).select("bucket", F.col(id_col).alias("other"),
-             F.col("vec").alias("vec_a"))
-    pairs_star = (
-        rs.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_hub")))
-        .join(F.broadcast(hubs), "bucket")
-        .select(
-            F.col(id_col), F.col("other"),
-            cosine_col(F.col("vec_a"), F.col("vec")).alias("cosine"),
-        )
-    )
-    pairs = pairs_small.unionByName(pairs_star) \
-                       .where(F.col("cosine") >= threshold)
-    dup = pairs.groupBy(id_col).agg(F.min("other").alias("dup_of"))
 
-    rep_out = reps.select(F.col(id_col)).join(dup, id_col, "left") \
-                  .select(F.col(id_col), F.col("dup_of"))
-    # identical-pair cosine: same zip_with/fold arithmetic the unguarded
-    # pairwise form would evaluate for (copy, rep), so the gate below is
-    # bit-equal to it (1.0 for nonzero vectors after round-6)
-    self_cos = cosine_col(F.col("vec"), F.col("vec"))
-    copy_out = (
-        copies
-        .join(dup.select(F.col(id_col).alias("_rep"),
-                         F.col("dup_of").alias("_rep_dup")),
-              "_rep", "left")
-        .select(
+        r = reps.withColumn("bucket", lsh_bucket_col(F.col("vec"), dim,
+                                                     n_planes))
+        stats = r.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub")
+        )
+        rs = r.join(F.broadcast(stats), "bucket").persist()
+
+        small = rs.where(F.col("_n") <= max_bucket)
+        pa = small.select("bucket", F.col(id_col).alias("other"),
+                          F.col("vec").alias("vec_a"))
+        pb = small.select("bucket", F.col(id_col),
+                          F.col("vec").alias("vec_b"))
+        pairs_small = (
+            pa.join(pb, "bucket")
+            .where(F.col("other") < F.col(id_col))
+            .select(
+                F.col(id_col), F.col("other"),
+                cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            )
+        )
+        hubs = rs.where(
+            (F.col("_n") > max_bucket) & (F.col(id_col) == F.col("_hub"))
+        ).select("bucket", F.col(id_col).alias("other"),
+                 F.col("vec").alias("vec_a"))
+        pairs_star = (
+            rs.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_hub")))
+            .join(F.broadcast(hubs), "bucket")
+            .select(
+                F.col(id_col), F.col("other"),
+                cosine_col(F.col("vec_a"), F.col("vec")).alias("cosine"),
+            )
+        )
+        pairs = pairs_small.unionByName(pairs_star) \
+                           .where(F.col("cosine") >= threshold)
+        dup = pairs.groupBy(id_col).agg(F.min("other").alias("dup_of")).persist()
+
+        rep_out = reps.select(F.col(id_col)).join(dup, id_col, "left") \
+                      .select(F.col(id_col), F.col("dup_of"))
+        # identical-pair cosine: same zip_with/fold arithmetic the unguarded
+        # pairwise form would evaluate for (copy, rep), so the gate below is
+        # bit-equal to it (1.0 for nonzero vectors after round-6)
+        self_cos = cosine_col(F.col("vec"), F.col("vec"))
+        copy_out = (
+            copies
+            .join(dup.select(F.col(id_col).alias("_rep"),
+                             F.col("dup_of").alias("_rep_dup")),
+                  "_rep", "left")
+            .select(
+                F.col(id_col),
+                F.when(self_cos >= threshold,
+                       F.coalesce(F.col("_rep_dup"), F.col("_rep")))
+                .otherwise(F.col("_rep_dup")).alias("dup_of"),
+            )
+        )
+        out = rep_out.unionByName(copy_out).select(
             F.col(id_col),
-            F.when(self_cos >= threshold,
-                   F.coalesce(F.col("_rep_dup"), F.col("_rep")))
-            .otherwise(F.col("_rep_dup")).alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of"),
         )
-    )
-    return rep_out.unionByName(copy_out).select(
-        F.col(id_col),
-        F.col("dup_of").isNull().alias("keep"),
-        F.col("dup_of"),
-    )
+        out = out.localCheckpoint()
+    finally:
+        e.unpersist()
+        if reps is not None:
+            reps.unpersist()
+        if rs is not None:
+            rs.unpersist()
+        if dup is not None:
+            dup.unpersist()
+    return out
