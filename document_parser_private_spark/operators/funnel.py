@@ -109,32 +109,41 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
     if granularity not in ("month", "day"):
         raise ValueError("granularity must be 'month' or 'day'")
     period = F.date_trunc(granularity, F.col(ts_col))
+    # `first` feeds both the activity join and the cohort-size agg —
+    # persist it or the events table is scanned once per reference
+    # (PLANS.md §21); user-level rows, tiny next to events.
     first = (
         events.groupBy(user_col)
         .agg(F.min(period).alias("cohort"))
+        .persist()
     )
-    activity = events.select(F.col(user_col), period.alias("p")).distinct()
-    if granularity == "month":
-        age = F.months_between(F.col("p"), F.col("cohort")).cast("int")
-    else:
-        age = F.datediff(F.col("p"), F.col("cohort")).cast("int")
-    per = (
-        activity.join(first, user_col)
-        .groupBy("cohort", age.alias("age"))
-        .agg(F.count(F.lit(1)).alias("active_users"))
-    )
-    sizes = first.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return (
-        per.join(F.broadcast(sizes), "cohort")
-        .select(
-            F.col("cohort").cast("date").alias("cohort"),
-            "age",
-            F.col("active_users").cast("long").alias("active_users"),
-            F.col("cohort_size").cast("long").alias("cohort_size"),
-            F.round(
-                F.col("active_users") * 1.0 / F.col("cohort_size"), 6
-            ).alias("retention_rate"),
+    try:
+        activity = events.select(F.col(user_col),
+                                 period.alias("p")).distinct()
+        if granularity == "month":
+            age = F.months_between(F.col("p"), F.col("cohort")).cast("int")
+        else:
+            age = F.datediff(F.col("p"), F.col("cohort")).cast("int")
+        per = (
+            activity.join(first, user_col)
+            .groupBy("cohort", age.alias("age"))
+            .agg(F.count(F.lit(1)).alias("active_users"))
         )
-    )
+        sizes = first.groupBy("cohort").agg(
+            F.count(F.lit(1)).alias("cohort_size")
+        )
+        out = (
+            per.join(F.broadcast(sizes), "cohort")
+            .select(
+                F.col("cohort").cast("date").alias("cohort"),
+                "age",
+                F.col("active_users").cast("long").alias("active_users"),
+                F.col("cohort_size").cast("long").alias("cohort_size"),
+                F.round(
+                    F.col("active_users") * 1.0 / F.col("cohort_size"), 6
+                ).alias("retention_rate"),
+            )
+        ).localCheckpoint()
+    finally:
+        first.unpersist()
+    return out
