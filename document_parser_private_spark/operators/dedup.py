@@ -283,6 +283,165 @@ def jaccard_token_col(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
 
 
+# Bounded-vocabulary fast path for the bucketed all-pairs jaccard: when
+# the corpus' distinct-token vocabulary fits in JACCARD_MASK_VOCAB_CAP
+# bits, a doc's token SET is a handful of int64 bitmasks and per-pair
+# jaccard is bit_count(a&b)/bit_count(a|b) — pure whole-stage-codegen
+# integer ops instead of a token equi-join whose row count is
+# sum over (bucket, token) of docs_with_token^2 (quadratic blow-up on
+# common tokens). The probe costs one extra tokenize pass; on corpora
+# that exceed the cap the original token-join formulation runs
+# unchanged, so results are identical on every input.
+JACCARD_MASK_VOCAB_CAP = 1024
+
+
+def _jaccard_pairs_bitmask(df: DataFrame, vocab: list[str],
+                           bucket_col: str, text_col: str, id_col: str,
+                           threshold: float) -> DataFrame:
+    """Exact all-pairs-within-bucket jaccard over <=1024-token vocab.
+
+    Shape: explode tokens -> broadcast vocab join -> bit_or codegen
+    aggregate per doc (W = ceil(V/64) mask words) -> collapse docs with
+    IDENTICAL masks into groups (their pairwise jaccard is 1.0 by
+    definition; cross-group jaccard is computed once per group pair,
+    not once per doc pair) -> per-bucket all-pairs join over GROUPS with
+    unrolled bit_count terms -> expand qualifying group pairs back to id
+    pairs. The group table is eagerly localCheckpoint-ed: it feeds 5
+    downstream branches and would otherwise recompute per reference
+    (PLANS.md §21)."""
+    spark = df.sparkSession
+    n_words = (len(vocab) + 63) // 64
+    rows = []
+    for bit, tok in enumerate(sorted(vocab)):
+        val = 1 << (bit % 64)
+        if val >= 2 ** 63:          # int64 sign bit, same bit pattern
+            val -= 2 ** 64
+        rows.append((tok, bit // 64, val))
+    vocab_df = spark.createDataFrame(rows, "token string, word int, val long")
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+        ).alias("token"),
+    )
+    mcols = [f"m{w}" for w in range(n_words)]
+    masked = (
+        toks.join(F.broadcast(vocab_df), "token")
+        .groupBy("_id", "bucket")
+        .agg(*[
+            F.bit_or(
+                F.when(F.col("word") == w, F.col("val")).otherwise(F.lit(0))
+            ).alias(f"m{w}")
+            for w in range(n_words)
+        ])
+    )
+    from pyspark.sql import Window
+    gid_w = Window.partitionBy("bucket").orderBy(*mcols)
+    groups = (
+        masked.groupBy("bucket", *mcols)
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .withColumn("gid", F.row_number().over(gid_w))
+        .localCheckpoint()          # eager: 5 references below
+    )
+
+    def popcount(op) -> Column:
+        terms = [
+            F.bit_count(op(F.col(f"a.m{w}"), F.col(f"b.m{w}")))
+            for w in range(n_words)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    a = F.broadcast(groups.select("bucket", "gid", *mcols)).alias("a")
+    # keyless spread of the probe side: the group table arrives
+    # partitioned by bucket (few partitions); the pair stage below emits
+    # ~|groups|^2/2 rows per bucket, so spread the probe rows over all
+    # cores first (40k-row exchange, trivial).
+    b = groups.select("bucket", "gid", *mcols) \
+        .repartition(F.col("bucket"), F.col("gid")).alias("b")
+    inter = popcount(lambda x, y: x.bitwiseAND(y))
+    union = popcount(lambda x, y: x.bitwiseOR(y))
+    # round(inter/union, 6) via a broadcast lookup on the INTEGER pair:
+    # Spark's Round(double) goes through BigDecimal per row — measured
+    # 2.3 s for the 41M-row bit_count pair scan vs 26.5 s with the
+    # rounded division inline. jaccard here can only be i/u with
+    # u <= |vocab|, so the exact same Round expression is evaluated
+    # once per possible (i, u) on a <= V*(V+1)/2-row table (<= 525k at
+    # the 1024 cap) and joined back — values bit-identical, the hot
+    # scan stays pure integer codegen.
+    jmap = (
+        spark.range(1, len(vocab) + 1).toDF("union")
+        .select(
+            F.col("union").cast("int").alias("union"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("union").cast("int"))
+            ).alias("inter"),
+        )
+        .select(
+            "inter", "union",
+            F.round(
+                F.col("inter").cast("double") / F.col("union").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    qual = (
+        b.join(a, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.gid") < F.col("b.gid")))
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
+            inter.cast("int").alias("inter"),
+            union.cast("int").alias("union"),
+        )
+        .join(F.broadcast(jmap), ["inter", "union"])
+        .drop("inter", "union")
+    )
+    ids_a = groups.select("bucket", F.col("gid").alias("gid_a"),
+                          F.col("ids").alias("_ids_a"))
+    ids_b = groups.select("bucket", F.col("gid").alias("gid_b"),
+                          F.col("ids").alias("_ids_b"))
+    # broadcast both id legs: they are group-table slices (bounded by
+    # the bucketed-form contract), while `qual` is ~|output| rows — a
+    # sort-merge join here would shuffle+sort the near-output-sized
+    # side twice (measured SMJ x2 in the executed plan before this).
+    cross = (
+        qual.join(F.broadcast(ids_a), ["bucket", "gid_a"])
+        .join(F.broadcast(ids_b), ["bucket", "gid_b"])
+        .select(
+            F.explode("_ids_a").alias("x"), F.col("_ids_b"), "jaccard",
+        )
+        .select(
+            F.explode("_ids_b").alias("y"), F.col("x"), "jaccard",
+        )
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    n = F.size("ids")
+    within_pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), n),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    within = (
+        groups.where((n >= 2) & (F.lit(1.0) >= F.lit(threshold)))
+        .select(F.explode(within_pairs).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def jaccard_pairs(df: DataFrame, bucket_col: str | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.5) -> DataFrame:
@@ -313,6 +472,20 @@ def jaccard_pairs(df: DataFrame, bucket_col: str | None = None,
         )
         return out
     assert threshold > 0, "token-join formulation requires threshold > 0"
+    # Bounded-vocab probe: one distinct-token pass (partial-aggregated,
+    # the shuffle carries <= vocab rows). Small vocabularies take the
+    # bitmask path — identical results, no token-join quadratic blow-up
+    # on common tokens; anything larger falls through to the token join.
+    vocab_probe = (
+        df.select(F.explode(F.array_distinct(F.regexp_extract_all(
+            F.col(text_col), F.lit(WORD_RE), F.lit(0)))).alias("token"))
+        .distinct().limit(JACCARD_MASK_VOCAB_CAP + 1).collect()
+    )
+    if len(vocab_probe) <= JACCARD_MASK_VOCAB_CAP:
+        return _jaccard_pairs_bitmask(
+            df, [r["token"] for r in vocab_probe],
+            bucket_col, text_col, id_col, threshold,
+        )
     toks = df.select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),
