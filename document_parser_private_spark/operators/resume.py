@@ -183,6 +183,94 @@ def extract_all_op(df: DataFrame, spans_col: str = "clean_spans") -> DataFrame:
     )
 
 
+def extract_all_fused_op(df: DataFrame, spans_col: str = "spans",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Whole-pipeline fused Python pass: classify + layout + section FSM
+    + entity extraction in ONE mapInArrow crossing, RAW spans in, final
+    extraction columns out (then the same native contact/summary/
+    certifications projections as extract_all_op).
+
+    Why this exists next to extract_all_op (native classify + pandas
+    UDF): measured at 200k docs / 32 cores, the native classify HOF tree
+    (interpreted transform/filter per span) plus the pandas_udf
+    nested-struct serialization cost ~15-16 s wall while the pure-Python
+    shared-semantics path runs ~3,000 docs/s/core warm — the plan was
+    paying more to AVOID Python than the Python costs. mapInArrow hands
+    whole Arrow batches to the same semantics the oracle runs
+    (guide: do the heavy lifting in native/batch code inside the UDF),
+    so golden parity holds by construction; the memoized fuzzy index
+    (_MEMO) is module-level and survives across batches and tasks in a
+    reused worker. Output carries only id + extraction columns — select
+    upstream columns you need before calling, or use the staged ops.
+    """
+    id_field = df.schema[id_col]
+    out_type = T.StructType([
+        T.StructField(id_col, id_field.dataType, id_field.nullable),
+        T.StructField("clean_spans", SPAN_TYPE),
+        T.StructField("blocks_kept", T.IntegerType()),
+        T.StructField("blocks_dropped", T.IntegerType()),
+        T.StructField("sections", SECTIONS_TYPE),
+        T.StructField("skills", T.ArrayType(T.StringType())),
+        T.StructField("education", EDUCATION_TYPE),
+        T.StructField("experience", EXPERIENCE_TYPE),
+        T.StructField("projects", PROJECTS_TYPE),
+    ])
+    from pyspark.sql.pandas.types import to_arrow_schema
+    pa_schema = to_arrow_schema(out_type)
+
+    def fused(batches):
+        import pyarrow as pa
+
+        from ..oracle import classify_and_emit
+
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            spans_in = b.column(spans_col).to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in out_type.fields}
+            for did, arr in zip(ids, spans_in):
+                if arr is None:
+                    # contract pinned by the staged path: null spans ->
+                    # empty clean_spans, NULL metrics, empty sections
+                    clean, kept, dropped = [], None, None
+                else:
+                    clean, kept, dropped = classify_and_emit(arr)
+                secs = sections_of_span_list(clean)
+                cols[id_col].append(did)
+                cols["clean_spans"].append(clean)
+                cols["blocks_kept"].append(kept)
+                cols["blocks_dropped"].append(dropped)
+                cols["sections"].append(secs)
+                cols["skills"].append(S.extract_skills(
+                    secs.get("skills") or "", _LOWER, _V2C, _INDEX,
+                    memo=_MEMO))
+                cols["education"].append(S.extract_education_entries(
+                    secs.get("education") or ""))
+                cols["experience"].append(S.extract_experience_entries(
+                    secs.get("experience") or "",
+                    skill_lower_index=_LOWER, skill_var2canon=_V2C,
+                    skill_index=_INDEX, memo=_MEMO))
+                cols["projects"].append(S.extract_project_entries(
+                    secs.get("projects") or "",
+                    skill_lower_index=_LOWER, skill_var2canon=_V2C,
+                    skill_index=_INDEX, memo=_MEMO))
+            yield pa.record_batch(
+                [pa.array(cols[f.name], type=f.type) for f in pa_schema],
+                schema=pa_schema,
+            )
+
+    out = df.select(id_col, spans_col).mapInArrow(fused, out_type)
+    sec = F.col("sections")
+    return (
+        out.withColumn("contact", contact_struct(sec["contact"]))
+        .withColumn("summary",
+                    summary_col(F.coalesce(sec["summary"], F.lit(""))))
+        .withColumn(
+            "certifications",
+            split_entries_col(F.coalesce(sec["certifications"], F.lit(""))),
+        )
+    )
+
+
 def extract_resume_op(df: DataFrame, sections_col: str = "sections") -> DataFrame:
     sec = F.col(sections_col)
     return (

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.classify import classify_spans
 from ..operators.layout import layout_order_op
-from ..operators.resume import extract_all_op
+from ..operators.resume import extract_all_fused_op, extract_all_op  # noqa: F401 (extract_all_op re-exported for the staged path)
 from ..operators.sections import detect_sections_op
 
 HEAVY_BYTES = 8 * 1024  # ~3x the mean doc: above this, the giant-doc salt
@@ -89,16 +89,20 @@ def extract_pipeline(
     pipeline is one narrow stage). Keep the default for ad-hoc inputs.
     """
     out = repartition_salted(df, num_partitions) if repartition else df
-    # classify is per-span and order-free, so it runs FIRST, natively
-    # (whole-stage codegen), keeping original geometric offsets; layout
-    # inference happens inside the single Python pass that needs Python
-    # anyway (fused UDF below / layout_order_op on the sections-only path).
+    if with_resume:
+        # ONE mapInArrow crossing runs the ENTIRE per-doc pipeline
+        # (classify + layout + FSM + entities) on raw spans via the
+        # shared oracle semantics. The previous shape (native classify
+        # HOF -> pandas UDF) paid interpreted higher-order-function
+        # evaluation per span plus pandas nested-struct serialization;
+        # measured at 200k docs/32 cores it was ~2x slower than this
+        # batch-Arrow form (see operators/resume.extract_all_fused_op).
+        out = extract_all_fused_op(out)
+        return out.select(*FINAL_COLUMNS)
+    # staged path: classify is per-span and order-free, so it runs FIRST,
+    # natively (whole-stage codegen), keeping original geometric offsets.
     # barrier=True: clean_spans feeds a Python UDF — see classify_spans.
     out = classify_spans(out, renumber=False, barrier=True)
-    if with_resume:
-        # fused layout+FSM+entities: one Arrow crossing, one worker/task
-        out = extract_all_op(out)
-        return out.select(*FINAL_COLUMNS)
     out = layout_order_op(out)
     out = detect_sections_op(out)
     return out.select(
