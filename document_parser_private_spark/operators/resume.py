@@ -223,6 +223,24 @@ def extract_all_fused_op(df: DataFrame, spans_col: str = "spans",
 
         from ..oracle import classify_and_emit
 
+        # bounded section-level memos (same lifetime/justification as
+        # _MEMO): education/projects section TEXTS repeat heavily on
+        # template-shaped corpora (measured 41%/50% distinct across 4k
+        # docs) and the extractors are pure functions of the text, so a
+        # content-keyed dict skips the whole parse on a repeat; on
+        # corpora with no repeats the cost is one dict miss per doc.
+        edu_memo: dict = {}
+        proj_memo: dict = {}
+
+        def memoed(memo, key, fn):
+            hit = memo.get(key)
+            if hit is None and key not in memo:
+                hit = fn(key)
+                if len(memo) > 50_000:
+                    memo.clear()
+                memo[key] = hit
+            return hit
+
         for b in batches:
             ids = b.column(id_col).to_pylist()
             spans_in = b.column(spans_col).to_pylist()
@@ -243,16 +261,18 @@ def extract_all_fused_op(df: DataFrame, spans_col: str = "spans",
                 cols["skills"].append(S.extract_skills(
                     secs.get("skills") or "", _LOWER, _V2C, _INDEX,
                     memo=_MEMO))
-                cols["education"].append(S.extract_education_entries(
-                    secs.get("education") or ""))
+                cols["education"].append(memoed(
+                    edu_memo, secs.get("education") or "",
+                    S.extract_education_entries))
                 cols["experience"].append(S.extract_experience_entries(
                     secs.get("experience") or "",
                     skill_lower_index=_LOWER, skill_var2canon=_V2C,
                     skill_index=_INDEX, memo=_MEMO))
-                cols["projects"].append(S.extract_project_entries(
-                    secs.get("projects") or "",
-                    skill_lower_index=_LOWER, skill_var2canon=_V2C,
-                    skill_index=_INDEX, memo=_MEMO))
+                cols["projects"].append(memoed(
+                    proj_memo, secs.get("projects") or "",
+                    lambda t: S.extract_project_entries(
+                        t, skill_lower_index=_LOWER, skill_var2canon=_V2C,
+                        skill_index=_INDEX, memo=_MEMO)))
             yield pa.record_batch(
                 [pa.array(cols[f.name], type=f.type) for f in pa_schema],
                 schema=pa_schema,

@@ -456,7 +456,10 @@ def normalize_date(date_str: Optional[str], as_of: date = AS_OF) -> Optional[dat
     return None
 
 
-_PERIOD_DELIMS = (r"\s+to\s+", r"\s+-\s+", r"\s*–\s*", r"\s*—\s*")
+_PERIOD_DELIMS = tuple(
+    re.compile(p)
+    for p in (r"\s+to\s+", r"\s+-\s+", r"\s*–\s*", r"\s*—\s*")
+)
 
 
 def extract_period(
@@ -469,7 +472,7 @@ def extract_period(
     """
     low = text.lower()
     for delim in _PERIOD_DELIMS:
-        parts = re.split(delim, low)
+        parts = delim.split(low)
         if len(parts) == 2:
             return (
                 normalize_date(parts[0].strip(), as_of),
@@ -1254,12 +1257,27 @@ def normalize_field(field: str, mapping: Optional[dict[str, list[str]]] = None) 
     return clean
 
 
+_FIELD_OF_STUDY_PATTERNS: Optional[list] = None
+
+
 def extract_field_of_study(text: str) -> Optional[str]:
     """F15 keyword lookup, with an F14 fallback: when no known field
     keyword appears, capture the phrase after 'in/of' following a degree
     word ('BS in CS') and run it through normalize_field."""
-    for field in FIELDS_OF_STUDY:
-        if re.search(r"(?i)\b" + re.escape(field) + r"\b", text):
+    # compile the per-field word-boundary patterns ONCE (lazy, so import
+    # order vs FIELDS_OF_STUDY stays irrelevant): the previous inline
+    # re.escape + concat + re-cache lookup ran per field per call —
+    # ~37 escapes/compile-lookups per entry, ~15% of entity-extraction
+    # CPU in the fused pipeline profile. Same patterns, same first-in-
+    # list-order semantics.
+    global _FIELD_OF_STUDY_PATTERNS
+    if _FIELD_OF_STUDY_PATTERNS is None:
+        _FIELD_OF_STUDY_PATTERNS = [
+            (field, re.compile(r"(?i)\b" + re.escape(field) + r"\b"))
+            for field in FIELDS_OF_STUDY
+        ]
+    for field, pat in _FIELD_OF_STUDY_PATTERNS:
+        if pat.search(text):
             return field
     m = re.search(FIELD_AFTER_DEGREE_RE, text)
     if m:
