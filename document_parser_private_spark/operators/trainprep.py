@@ -145,6 +145,61 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def _ngram_rows_arrow(df: DataFrame, n: int, id_col: str, text_col: str,
+                      hashed: bool = True,
+                      per_doc_distinct: bool = False) -> DataFrame:
+    """(id, gram) rows via ONE mapInArrow batch pass — the shared fast
+    n-gram builder. The higher-order transform(slice+concat_ws[+md5])
+    form is interpreted per position (PLANS.md §5) and measured as the
+    dominant cost of every gram-based operator at 50k docs; the batch
+    pass runs the identical token contract ([^\\x09-\\x0d\\x20]+ — ASCII
+    by design, identical in Java and Python regex, PLANS.md §8) and
+    hashlib md5 == Spark md5 on UTF-8 bytes. Case folding is NOT done
+    here — lower() the text column natively upstream so the engine
+    contract for case stays in one place.
+
+    per_doc_distinct mirrors array_distinct-after-build: first
+    occurrence order, one row per distinct gram per doc."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_col = "gh" if hashed else "gram"
+
+    def build(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            out_id: list = []
+            out_g: list[str] = []
+            for did, tx in zip(ids, texts):
+                t = tok_re.findall(tx or "")
+                m = len(t) - (n - 1)
+                if m <= 0:
+                    continue
+                seen: set = set()
+                for i in range(m):
+                    g = " ".join(t[i:i + n])
+                    if hashed:
+                        g = hashlib.md5(g.encode()).hexdigest()
+                    if per_doc_distinct:
+                        if g in seen:
+                            continue
+                        seen.add(g)
+                    out_id.append(did)
+                    out_g.append(g)
+            yield pa.record_batch(
+                [pa.array(out_id, b.column(id_col).type),
+                 pa.array(out_g, pa.string())], names=[id_col, out_col])
+
+    return df.select(id_col, text_col).mapInArrow(
+        build, f"{id_col} {id_dt}, {out_col} string"
+    )
+
+
 def _gram_hashes(text_col, n: int):
     """md5 hashes of the text's token n-grams (ASCII token contract,
     space-joined). Tokens are bound once; the per-gram work inside the
@@ -172,16 +227,20 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
     The benchmark gram set is deduplicated and broadcast — the corpus
     side never shuffles its text, only (doc_id, gram-hash) pairs into a
     doc_id-keyed count."""
+    # both gram streams ride the shared mapInArrow builder — the
+    # interpreted per-gram md5 HOF was the operator's dominant cost
+    # (values identical; the bench side keys by a constant since only
+    # the gram set matters).
     bench_grams = (
-        benchmark.select(
-            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("gh")
-        ).distinct()
+        _ngram_rows_arrow(
+            benchmark.select(F.lit(0).alias("_b"),
+                             F.col(bench_text_col).alias("_t")),
+            n, "_b", "_t",
+        ).select("gh").distinct()
     )
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(_gram_hashes(F.col(text_col), n))
-        ).alias("gh"),
+    doc_grams = _ngram_rows_arrow(
+        df.select(id_col, text_col), n, id_col, text_col,
+        per_doc_distinct=True,
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gh")
