@@ -85,24 +85,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.sum(F.length("line")).alias("chars_distinct"),
     )
 
-    # --- top-bigram signal: token bigrams via one bound tokenization,
-    # count per (doc, gram), argmax via min(struct(-cnt, gram)).
-    grams = df.select(
-        did,
-        F.explode(
-            bind_once(
-                F.regexp_extract_all(t, F.lit(WORD_RE), F.lit(0)),
-                lambda toks: F.when(
-                    F.size(toks) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at(toks, i),
-                            F.element_at(toks, i + 1)),
-                    ),
-                ).otherwise(F.array().cast("array<string>")),
-            )
-        ).alias("gram"),
+    # --- top-bigram signal: bigram rows via the shared mapInArrow
+    # builder (the interpreted per-gram HOF was the hot half of this
+    # operator — PLANS.md §5), count per (doc, gram), argmax via
+    # min(struct(-cnt, gram)).
+    grams = _ngram_rows_arrow(
+        df.select(id_col, text_col), 2, id_col, text_col, hashed=False,
     )
     per_gram = grams.groupBy(did, F.col("gram")).agg(
         F.count("*").alias("cnt")
