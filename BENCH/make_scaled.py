@@ -38,12 +38,20 @@ def scale_table(name: str, tbl: pa.Table, k: int) -> pa.Table:
         ):
             col = pc.cast(pc.add(col, k * KEY_OFFSET), field.type)
         elif nm == "text":
-            suffix = pc.binary_join_element_wise(
-                pc.cast(pc.add(tbl.column("doc_id"), k), pa.string()),
-                f" zz{k}q", "",
-            )
-            col = pc.binary_join_element_wise(
-                pc.cast(col, pa.string()), suffix, " ")
+            # Perturb token SETS without growing the vocabulary: the
+            # real corpus vocabulary is ~31 words and jaccard_pairs'
+            # exact-bitmask path keys on that bound — appending novel
+            # tokens would silently reroute it to the fallback join and
+            # time the wrong plan. Append two existing-vocab words
+            # chosen per (doc, replica).
+            vocab = sorted({w for tx in tbl.column("text").to_pylist()[:2000]
+                            for w in (tx or "").split()})
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            nv = max(len(vocab), 1)
+            col = pa.array(
+                [f"{tx} {vocab[(d + 3 * k) % nv]} {vocab[(7 * d + k) % nv]}"
+                 for d, tx in zip(ids, texts)], pa.string())
         elif nm == "embedding":
             arrs = col.combine_chunks()
             if isinstance(arrs, pa.ChunkedArray):

@@ -36,15 +36,49 @@ from document_parser_private_spark.semantics import (
 _WORD_SQL = "[^" + _TWSI + "]+"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Guide §2.5 input-skew fix: the sf tables are single parquet
+    files with ONE row group, so the scan is a single task and every
+    narrow operator behind it (tokenizers, mapInArrow passes, filters)
+    serializes on one core no matter the cluster size. When the scan's
+    parallelism is below the session's cores, repartition immediately
+    after the read — the payload moves once, before any per-row work.
+    The condition is runtime-derived (scan splits vs cores), so on
+    production inputs with many files/row groups it is a no-op rather
+    than a local[32] constant."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    # tiny dimension tables (region/nation/sf0.01 docs) are cheaper as
+    # one task than as an exchange + n near-empty tasks
+    size = int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    if size < (256 << 10):
+        return df
+    return df.repartition(n)
+
+
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
+    """documents reader. spread=True (default) applies the §2.5 fix —
+    right for every query with heavy per-row work (tokenizer passes,
+    regex, hashing). Pass spread=False for scan+aggregate queries whose
+    per-row work is lighter than an exchange (measured: mixture_sample,
+    weighted_sample, quantile_sketch each ~2x worse with the spread)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df, spark) if spread else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                   spark)
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # no _spread: the TPC-H/events tables feed scan+aggregate queries
+    # where a full exchange costs more than single-digit-task scans
+    # save (measured 2-3x regressions on event_sessions, lineitem_agg,
+    # region_revenue, cohort_retention with a blanket spread)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -970,7 +1004,7 @@ def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_sketch,
     )
     return quantile_sketch(
-        _docs(spark, sf_dir), value_col="n_chars", group_cols=["source"]
+        _docs(spark, sf_dir, spread=False), value_col="n_chars", group_cols=["source"]
     )
 
 
@@ -1023,7 +1057,7 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.curation import (
         mixture_sample,
     )
-    out = mixture_sample(_docs(spark, sf_dir), _MIXTURE_WEIGHTS,
+    out = mixture_sample(_docs(spark, sf_dir, spread=False), _MIXTURE_WEIGHTS,
                          source_col="lang")
     return out.select("doc_id", "lang")
 
@@ -1235,7 +1269,7 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.curation import (
         weighted_sample,
     )
-    out = weighted_sample(_docs(spark, sf_dir), k=5, weight_col="n_chars",
+    out = weighted_sample(_docs(spark, sf_dir, spread=False), k=5, weight_col="n_chars",
                           group_cols=["source"])
     return out.select("doc_id", "source", "sample_score",
                       F.col("sample_rank").cast("int").alias("sample_rank"))

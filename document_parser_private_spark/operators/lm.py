@@ -27,32 +27,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.bind import bind_once
-from .textstats import WORD_RE
-
 LM_K = 0.5  # add-k smoothing mass
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    # bind_once: the tokenizer regex must run ONCE per row — referenced
-    # naively inside the transform lambda it would re-run per element
-    # (functions/bind.py, PLANS.md §5).
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
-    )
-    pairs = bind_once(
-        toks,
-        lambda t: F.transform(
-            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-            lambda x, i: F.struct(
-                x.alias("w1"), F.element_at(t, i + 2).alias("w2")
-            ),
-        ),
-    )
-    return (
-        df.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("bg"))
-        .select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
+def _doc_bigram_counts(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """(_id, w1, w2, cnt) — per-doc collapsed bigram counts in ONE
+    mapInArrow batch pass (guide §4.2): replaces the interpreted
+    HOF transform + explode + groupBy(doc, w1, w2) hash agg; counts
+    are exact by construction (a row's tokens never split across
+    batches) and the first exchange carries already-collapsed rows.
+    Token contract: lowercased WORD_RE (ASCII whitespace split,
+    PLANS.md §8) — case folding stays native upstream."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def build(batches):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column("_lt").to_pylist()
+            out_id: list = []
+            out_1: list[str] = []
+            out_2: list[str] = []
+            out_c: list[int] = []
+            for did, tx in zip(ids, texts):
+                t = tok_re.findall(tx or "")
+                for (w1, w2), c in Counter(zip(t, t[1:])).items():
+                    out_id.append(did)
+                    out_1.append(w1)
+                    out_2.append(w2)
+                    out_c.append(c)
+            yield pa.record_batch(
+                [pa.array(out_id, b.column(id_col).type),
+                 pa.array(out_1, pa.string()),
+                 pa.array(out_2, pa.string()),
+                 pa.array(out_c, pa.int64())],
+                names=["_id", "w1", "w2", "cnt"])
+
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.lower(F.col(text_col)).alias("_lt"),
+    ).mapInArrow(build, f"_id {id_dt}, w1 string, w2 string, cnt long")
 
 
 def lm_score(
@@ -66,16 +86,25 @@ def lm_score(
     `docs` itself — corpus self-scoring). Returns (id, n_bigrams,
     avg_logp round 6, ppl round 4); docs with < 2 tokens score NULL
     avg_logp and ppl with n_bigrams = 0."""
-    train = docs if train is None else train
-    tb = _doc_bigrams(train, id_col, text_col)
-    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = c1.agg(F.count(F.lit(1)).alias("v"))
-    db = (
-        _doc_bigrams(docs, id_col, text_col)
-        .groupBy("_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    self_scoring = train is None
+    db = _doc_bigram_counts(docs, id_col, text_col)
+    if self_scoring:
+        # Corpus self-scoring: the model counts are EXACTLY the per-doc
+        # table re-aggregated — c2(w1,w2) = sum(cnt), c1(w1) = sum over
+        # w2, V = |distinct w1|. The previous shape tokenized the corpus
+        # twice more (tb for c2, tb again for c1 — no cross-branch CSE,
+        # CLAUDE.md); deriving everything from one persisted collapsed
+        # table is one tokenize pass instead of three, and the model
+        # aggs run over vocab^2-bounded rows (guide §2.3/§2.4).
+        db = db.persist()
+        c2 = db.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2")).persist()
+        c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        v = c1.agg(F.count(F.lit(1)).alias("v"))
+    else:
+        tb = _doc_bigram_counts(train, id_col, text_col)
+        c2 = tb.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+        c1 = tb.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+        v = c1.agg(F.count(F.lit(1)).alias("v"))
     scored = (
         db.join(c2, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
@@ -108,6 +137,15 @@ def lm_score(
             F.round(F.exp(-avg), 4).alias("ppl"),
         )
     )
+    if self_scoring:
+        # Eager checkpoint cuts lineage back past db/c2 so the caches
+        # can be released here instead of leaking for the session
+        # (the pagerank pattern, PLANS.md §21).
+        try:
+            out = out.localCheckpoint()
+        finally:
+            c2.unpersist()
+            db.unpersist()
     return out
 
 
@@ -139,14 +177,12 @@ def ngram_counts(df: DataFrame, n: int = 3, min_count: int = 2,
     # (lower() before the boundary) so the engine lowercase contract
     # is unchanged.
     from .trainprep import _ngram_rows_arrow
-    per_doc = (
-        _ngram_rows_arrow(
-            df.select(F.col(id_col).alias("_id"),
-                      F.lower(F.col(text_col)).alias("_t")),
-            n, "_id", "_t", hashed=False,
-        )
-        .groupBy("_id", "gram")
-        .agg(F.count("*").alias("cnt"))
+    # counted=True collapses to (doc, gram, cnt) at the source — the
+    # first groupBy(id, gram) hash agg disappears entirely (guide §2.3).
+    per_doc = _ngram_rows_arrow(
+        df.select(F.col(id_col).alias("_id"),
+                  F.lower(F.col(text_col)).alias("_t")),
+        n, "_id", "_t", hashed=False, counted=True,
     )
     return (
         per_doc.groupBy("gram")

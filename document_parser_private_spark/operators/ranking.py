@@ -30,10 +30,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import WORD_RE
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _doc_term_freqs(docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(_id, term, tf) — the per-doc term-frequency table both ranking
+    operators start from, via the shared mapInArrow tokenizer+counter
+    (textstats._word_count_rows_arrow): the JVM regexp explode +
+    groupBy(doc, term) hash agg it replaces was the dominant cost at
+    50k docs (guide §4.2), and counts are exact by construction (a
+    row's tokens never split across batches). Case folding stays
+    native (lower() ahead of the boundary)."""
+    from .textstats import _word_count_rows_arrow
+
+    return (
+        _word_count_rows_arrow(
+            docs.select(F.col(id_col).alias("_id"),
+                        F.lower(F.col(text_col)).alias("_t")),
+            "_id", "_t",
+        )
+        .select("_id", F.col("token").alias("term"),
+                F.col("cnt").alias("tf"))
+    )
 
 
 def inverted_index(
@@ -53,15 +74,10 @@ def inverted_index(
     beyond max_postings rows in any aggregation buffer — the guard that
     keeps index build safe when one term appears in billions of docs.
     """
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
-            )
-        ).alias("term"),
-    )
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the stats agg and the capped-postings window —
+    # persist it so the tokenizer pass runs once (no cross-branch CSE,
+    # PLANS.md §21); both consumers shuffle on `term`, vocab-bounded.
+    tf = _doc_term_freqs(docs, id_col, text_col).persist()
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
@@ -80,7 +96,7 @@ def inverted_index(
             ",",
         ).alias("postings")
     )
-    return (
+    out = (
         stats.where(F.col("df") >= min_df)
         .join(postings, "term")
         .select(
@@ -90,6 +106,11 @@ def inverted_index(
             "postings",
         )
     )
+    try:
+        out = out.localCheckpoint()
+    finally:
+        tf.unpersist()
+    return out
 
 
 def bm25_top_terms(
@@ -105,22 +126,22 @@ def bm25_top_terms(
     Returns (id, term, tf, score, rnk) with score rounded to 6 after
     ranking on the unrounded double.
     """
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
-            )
-        ).alias("term"),
-    )
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is referenced by three branches (dl, dfreq, the join) and
+    # Catalyst recomputes a subtree per reference (no cross-branch CSE,
+    # PLANS.md §21) — the tokenizer pass ran 3x. Persist the collapsed
+    # tf table once; release after an eager checkpoint of the (tiny)
+    # top-k result. dfreq is vocabulary-bounded (Heaps' law), the
+    # classic broadcast side (guide §3.1) — broadcasting it removes the
+    # term-keyed exchange of the whole tf table, leaving one exchange
+    # on _id that the top-k window then reuses (guide §2.4).
+    tf = _doc_term_freqs(docs, id_col, text_col).persist()
     dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     j = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .join(dl, "_id")
         .crossJoin(F.broadcast(stats))
     )
@@ -139,7 +160,7 @@ def bm25_top_terms(
     w = Window.partitionBy("_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         j.select(
             "_id", "term", "tf", F.round(score, 6).alias("score")
         )
@@ -153,3 +174,8 @@ def bm25_top_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+    try:
+        out = out.localCheckpoint()
+    finally:
+        tf.unpersist()
+    return out

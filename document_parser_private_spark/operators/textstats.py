@@ -230,6 +230,49 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.mapInArrow(stats, out_type)
 
 
+def _word_count_rows_arrow(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """(id, token, cnt) rows via ONE mapInArrow batch pass — the shared
+    fast tokenizer+counter. Exact replacement for
+    explode(regexp_extract_all(WORD_RE)) + groupBy(id, token).count():
+    all of a row's tokens live in the same Arrow batch, so per-doc
+    counts are complete by construction and the downstream plan starts
+    from the already-collapsed (doc, token) table (guide §2.3 —
+    aggregate before you shuffle). Token contract is WORD_RE (explicit
+    ASCII whitespace class, identical in Java regex / RE2 / Python re,
+    PLANS.md §8). Case folding is NOT done here — lower() natively
+    upstream, keeping the engine case contract in one place."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def build(batches):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            out_id: list = []
+            out_t: list[str] = []
+            out_c: list[int] = []
+            for did, tx in zip(ids, texts):
+                for tok, c in Counter(tok_re.findall(tx or "")).items():
+                    out_id.append(did)
+                    out_t.append(tok)
+                    out_c.append(c)
+            yield pa.record_batch(
+                [pa.array(out_id, b.column(id_col).type),
+                 pa.array(out_t, pa.string()),
+                 pa.array(out_c, pa.int64())],
+                names=[id_col, "token", "cnt"])
+
+    return df.select(id_col, text_col).mapInArrow(
+        build, f"{id_col} {id_dt}, token string, cnt long"
+    )
+
+
 # bounded token->md5-hash cache: tokens repeat heavily in any natural
 # corpus and md5 per token instance was the simhash hot spot (the
 # per-bit Python loop was the other — now a numpy majority vote).
@@ -286,6 +329,23 @@ def hamming64_col(a: Column, b: Column) -> Column:
 
 SIMHASH_BITS = 60  # 60-bit fits signed int64 on both engines with headroom
 
+# token -> 60-bit hash cache for simhash_agg (same rationale as
+# _SIMHASH_TOKEN_CACHE above; different width contract).
+_SIMHASH60_CACHE: dict[str, int] = {}
+
+
+def _token_hash60(tok: str) -> int:
+    """int(md5(tok).hexdigest()[:15], 16) — the top 60 bits of the
+    digest, == Spark conv(substring(md5(tok),1,15),16,10)."""
+    h = _SIMHASH60_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "big") >> 4
+        if len(_SIMHASH60_CACHE) > 500_000:
+            _SIMHASH60_CACHE.clear()
+        _SIMHASH60_CACHE[tok] = h
+    return h
+
 
 def simhash_agg(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
@@ -297,41 +357,54 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
     digits of md5 (60 bits), portable to the DuckDB twin via
     CAST('0x'||hex AS BIGINT). Empty docs -> simhash 0 (left anti side
     restored with a zero literal)."""
-    # collapse token INSTANCES to (doc, token, cnt) before hashing: the
-    # md5+conv and the 60 bit-vote expressions then run once per
-    # DISTINCT token per doc (vote weight = cnt) instead of once per
-    # occurrence — same sums by construction, ~2-3x fewer expensive
-    # rows on natural text.
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
-        ).alias("tok"),
-    ).groupBy(id_col, "tok").agg(F.count("*").alias("cnt")).select(
-        F.col(id_col),
-        F.col("cnt"),
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-        .cast("long").alias("hv"),
-    )
-    aggs = [
-        F.sum(
-            F.when(F.col("hv").bitwiseAND(F.lit(1 << k)) != 0,
-                   F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias(f"s_{k}")
-        for k in range(n_bits)
-    ]
-    sums = toks.groupBy(id_col).agg(*aggs)
-    sim = None
-    for k in range(n_bits):
-        term = F.when(F.col(f"s_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    hashed = sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
-    # zero-token docs via ONE left join + coalesce: the previous
-    # left_anti branch referenced `hashed` a second time, and Catalyst
-    # recomputes the whole agg subtree per reference (PLANS.md §21 —
-    # the plan held 3 corpus scans).
-    return df.select(id_col).join(hashed, id_col, "left").withColumn(
-        "simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+    # ONE mapInArrow pass, zero shuffles: every decision is per-doc and
+    # integer-exact, so the whole vote runs next to the tokenizer
+    # (guide §4.2 — batch the heavy lifting; previously: JVM regex
+    # explode -> groupBy(doc, tok) -> 60 codegen vote SUMs -> groupBy
+    # (doc) -> left join for empties = 2 exchanges + 2 hash aggs).
+    # Contract unchanged: hv = first 15 md5 hex digits (== top 60 bits
+    # of the digest) as int, vote weight = occurrence count, bit k set
+    # iff its weighted vote sum > 0, zero-token/null docs -> 0. All
+    # arithmetic is int64 — bit-identical to the agg form by
+    # construction (no float order sensitivity).
+    assert n_bits == SIMHASH_BITS  # hash-width contract, mirrored in twin
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def sim_build(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            out: list[int] = []
+            for tx in texts:
+                counts: dict[str, int] = {}
+                for tok in tok_re.findall(tx or ""):
+                    counts[tok] = counts.get(tok, 0) + 1
+                if not counts:
+                    out.append(0)
+                    continue
+                hv = np.fromiter(
+                    (_token_hash60(t) for t in counts), dtype=np.uint64,
+                    count=len(counts))
+                cnt = np.fromiter(counts.values(), dtype=np.int64,
+                                  count=len(counts))
+                ones = ((hv[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int64)
+                votes = ((2 * ones - 1) * cnt[:, None]).sum(axis=0)
+                out.append(int(weights[votes > 0].sum()))
+            yield pa.record_batch(
+                [pa.array(ids, b.column(id_col).type),
+                 pa.array(out, pa.int64())], names=[id_col, "simhash"])
+
+    return df.select(id_col, text_col).mapInArrow(
+        sim_build, f"{id_col} {id_dt}, simhash long"
     )
 
 
@@ -359,13 +432,12 @@ def lexical_stats(df: DataFrame, text_col: str = "text",
     contract as operators/lm.py avg_logp).
     """
     did = F.col(id_col)
-    tok = df.select(
-        did,
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
-        ).alias("token"),
-    )
-    per = tok.groupBy(did, F.col("token")).agg(F.count("*").alias("cnt"))
+    # (doc, token, cnt) rides the shared mapInArrow tokenizer+counter:
+    # the JVM regexp explode + groupBy(doc, token) hash agg it replaces
+    # was the dominant cost at 50k docs (guide §4.2), and the exchange
+    # ahead of the per-doc rollup now carries already-collapsed rows.
+    per = _word_count_rows_arrow(df.select(did, F.col(text_col)),
+                                 id_col, text_col)
     st = per.groupBy(did).agg(
         F.sum("cnt").alias("n_tokens"),
         F.count("*").alias("n_types"),

@@ -135,7 +135,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
 def _ngram_rows_arrow(df: DataFrame, n: int, id_col: str, text_col: str,
                       hashed: bool = True,
-                      per_doc_distinct: bool = False) -> DataFrame:
+                      per_doc_distinct: bool = False,
+                      counted: bool = False) -> DataFrame:
     """(id, gram) rows via ONE mapInArrow batch pass — the shared fast
     n-gram builder. The higher-order transform(slice+concat_ws[+md5])
     form is interpreted per position (PLANS.md §5) and measured as the
@@ -147,13 +148,20 @@ def _ngram_rows_arrow(df: DataFrame, n: int, id_col: str, text_col: str,
     contract for case stays in one place.
 
     per_doc_distinct mirrors array_distinct-after-build: first
-    occurrence order, one row per distinct gram per doc."""
+    occurrence order, one row per distinct gram per doc.
+
+    counted=True emits (id, gram, cnt) — one row per DISTINCT gram per
+    doc with its occurrence count, exactly groupBy(id, gram).count()
+    collapsed at the source (a row's grams never split across batches),
+    so consumers skip that whole first hash-agg (guide §2.3)."""
     id_dt = df.schema[id_col].dataType.simpleString()
     out_col = "gh" if hashed else "gram"
+    assert not (counted and per_doc_distinct)
 
     def build(batches):
         import hashlib
         import re
+        from collections import Counter
 
         import pyarrow as pa
 
@@ -163,10 +171,21 @@ def _ngram_rows_arrow(df: DataFrame, n: int, id_col: str, text_col: str,
             texts = b.column(text_col).to_pylist()
             out_id: list = []
             out_g: list[str] = []
+            out_c: list[int] = []
             for did, tx in zip(ids, texts):
                 t = tok_re.findall(tx or "")
                 m = len(t) - (n - 1)
                 if m <= 0:
+                    continue
+                if counted:
+                    c = Counter(
+                        " ".join(t[i:i + n]) for i in range(m))
+                    for g, cn in c.items():
+                        if hashed:
+                            g = hashlib.md5(g.encode()).hexdigest()
+                        out_id.append(did)
+                        out_g.append(g)
+                        out_c.append(cn)
                     continue
                 seen: set = set()
                 for i in range(m):
@@ -179,13 +198,17 @@ def _ngram_rows_arrow(df: DataFrame, n: int, id_col: str, text_col: str,
                         seen.add(g)
                     out_id.append(did)
                     out_g.append(g)
-            yield pa.record_batch(
-                [pa.array(out_id, b.column(id_col).type),
-                 pa.array(out_g, pa.string())], names=[id_col, out_col])
+            cols = [pa.array(out_id, b.column(id_col).type),
+                    pa.array(out_g, pa.string())]
+            names = [id_col, out_col]
+            if counted:
+                cols.append(pa.array(out_c, pa.int64()))
+                names.append("cnt")
+            yield pa.record_batch(cols, names=names)
 
-    return df.select(id_col, text_col).mapInArrow(
-        build, f"{id_col} {id_dt}, {out_col} string"
-    )
+    schema = f"{id_col} {id_dt}, {out_col} string" + (
+        ", cnt long" if counted else "")
+    return df.select(id_col, text_col).mapInArrow(build, schema)
 
 
 def _gram_hashes(text_col, n: int):
