@@ -1238,9 +1238,12 @@ def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _tbl(spark, sf_dir, "orders")
     seg = cust.where(F.col("c_mktsegment") == "BUILDING")
     bloom = bloom_build(seg, "c_custkey", m_bits=4096, k=3)
+    # _spread: the probe projection is 3 md5 hashes per row — heavy
+    # enough per-row work that the 2-task single-file scan serializes
+    # it (guide §2.5; measured 1.9 -> 1.1 s at 1.5M orders)
     pruned = bloom_prune(
-        orders.select("o_orderkey", "o_custkey"), "o_custkey", bloom,
-        m_bits=4096, k=3,
+        _spread(orders.select("o_orderkey", "o_custkey"), spark),
+        "o_custkey", bloom, m_bits=4096, k=3,
     )
     member = seg.select(F.col("c_custkey").alias("o_custkey")).distinct() \
         .withColumn("is_member", F.lit(1))

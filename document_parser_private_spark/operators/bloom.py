@@ -18,9 +18,11 @@ hashes, which differ between Spark and DuckDB):
   pos_i(key) = int(md5(cast(key as string) || '#' || i)[0:8], 16) % m
   for i in 0..k-1; the filter is the distinct set of set positions.
 
-The "bitmap" stays a relational table of <= m distinct positions — no
-driver-side collect, no binary blob; broadcast-joined it is exactly the
-bitmap lookup, and it unions/merges across builds by construction.
+The build side stays a relational table of <= m distinct positions (so
+filters union/merge across builds by construction); the prune side
+folds it into a plan-time int64 bitmap literal — a bounded-by-m_bits
+collect, the same trade as the IVF centroid literals — so probing is a
+pure codegen projection with zero joins and zero exchanges.
 
 Reference scope: no bloom/semi-join reduction exists in the reference
 engine (pure single-node); this is beyond-reference scale tooling.
@@ -66,23 +68,33 @@ def bloom_prune(probe: DataFrame, probe_col: str, bloom: DataFrame,
     set). Adds `bloom_pass` (int 0/1) rather than filtering, so callers
     can audit the false-positive rate; filter on it for the prune.
 
-    Plan shape: k broadcast-hash LEFT joins, one per hash — each probe
-    row looks up each of its k positions in the (distinct, <= m_bits
-    row) position table, so no row ever multiplies and the probe side
-    NEVER shuffles; the only exchange is the tiny broadcast. Works
-    unchanged as the pre-filter in front of any shuffled join.
+    Plan shape: the position table is folded into a PLAN-TIME int64
+    bitmap literal (<= m_bits/64 longs — the collect is bounded by
+    construction at filter size, like the plane-sign literals in
+    operators/similarity.py), so the probe side is a single codegen
+    projection: k md5 positions + k element_at/bit tests per row, zero
+    joins, zero exchanges. The previous shape was k broadcast-hash left
+    joins, which re-built the (aggregated) position broadcast per join
+    and re-copied every probe row through k join operators — measured
+    ~2x slower at 1.5M probe rows. Works unchanged as the pre-filter in
+    front of any shuffled join; membership values are identical (same
+    md5 position contract, same set).
     """
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for r in bloom.select("pos").collect():     # <= m_bits tiny rows
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+    one_bit = [(1 << j) - (1 << 64 if j == 63 else 0) for j in range(64)]
+    bits = F.array(*[F.lit(x).cast("long") for x in one_bit])
     v = F.col(probe_col)
-    out = probe
     pass_expr = F.lit(True)
     for i in range(k):
-        hit = f"_bl_p{i}"
-        out = out.withColumn(hit + "q", _pos_col(v, i, m_bits)).join(
-            F.broadcast(bloom.select(F.col("pos").alias(hit))),
-            on=F.col(hit + "q") == F.col(hit),
-            how="left",
-        ).drop(hit + "q")
-        pass_expr = pass_expr & F.col(hit).isNotNull()
-    return out.withColumn("bloom_pass", pass_expr.cast("int")).drop(
-        *[f"_bl_p{i}" for i in range(k)]
-    )
+        pos = _pos_col(v, i, m_bits)
+        word = F.element_at(
+            bitmap, (F.floor(pos / F.lit(64)) + 1).cast("int"))
+        bit = F.element_at(bits, F.pmod(pos, F.lit(64)).cast("int") + 1)
+        pass_expr = pass_expr & (word.bitwiseAND(bit) != 0)
+    return probe.withColumn("bloom_pass", pass_expr.cast("int"))

@@ -145,56 +145,57 @@ def minhash_signatures_agg(df: DataFrame, text_col: str = "text",
       correlates bands — tested and rejected).
     Output: id, mh_0..mh_{n-1} bigint columns.
     """
-    # (id, shingle-hash) rows via ONE mapInArrow batch pass: the
-    # word_shingles_col higher-order transform is interpreted per
-    # shingle (PLANS.md §5) and was the dominant pre-aggregation cost;
-    # the batch pass builds the identical shingles (ASCII token
-    # contract, PLANS.md §8) and the identical 31-bit base hash
-    # (first 8 md5 hex digits mod P — hashlib == Spark md5 on UTF-8).
-    # The min() aggregates below stay codegen with map-side partials.
+    # The WHOLE signature rides ONE mapInArrow batch pass: shingles,
+    # the 31-bit md5 base hash AND the n permutation argmins are all
+    # per-doc decisions, so nothing needs to cross an exchange at all —
+    # previously the batch pass emitted one row per shingle and a
+    # groupBy(id) ran n codegen min() aggregates (1 exchange). Identical
+    # values by construction: same ASCII token contract (PLANS.md §8),
+    # hashlib md5 == Spark md5 on UTF-8, and min((A[i]*h + B[i]) mod P)
+    # over the same shingle multiset is pure int64 arithmetic (numpy:
+    # A*h <= 2^62, no overflow). Zero-token docs keep the pinned
+    # single-empty-shingle behavior.
     id_dt = df.schema[id_col].dataType.simpleString()
+    a_const = tuple(MINHASH_A[:n_hashes])
+    b_const = tuple(MINHASH_B[:n_hashes])
 
-    def sh_build(batches):
+    def sig_build(batches):
         import hashlib
         import re
 
+        import numpy as np
         import pyarrow as pa
 
         tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        av = np.array(a_const, dtype=np.int64)[:, None]
+        bv = np.array(b_const, dtype=np.int64)[:, None]
         for b in batches:
             ids = b.column(id_col).to_pylist()
             texts = b.column(text_col).to_pylist()
-            out_id: list = []
-            out_h: list[int] = []
-            for did, tx in zip(ids, texts):
+            sigs = np.empty((len(ids), n_hashes), dtype=np.int64)
+            for r, tx in enumerate(texts):
                 t = tok_re.findall(tx or "")
                 if len(t) >= k:
                     grams = (" ".join(t[i:i + k])
                              for i in range(len(t) - (k - 1)))
+                    ng = len(t) - (k - 1)
                 else:
                     grams = (" ".join(t),)
-                for g in grams:
-                    out_id.append(did)
-                    out_h.append(
-                        int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
-                        % MINHASH_P)
+                    ng = 1
+                h = np.fromiter(
+                    (int.from_bytes(
+                        hashlib.md5(g.encode()).digest()[:4], "big")
+                     % MINHASH_P for g in grams),
+                    dtype=np.int64, count=ng)
+                sigs[r] = ((av * h[None, :] + bv) % MINHASH_P).min(axis=1)
             yield pa.record_batch(
-                [pa.array(out_id, b.column(id_col).type),
-                 pa.array(out_h, pa.int64())], names=[id_col, "h"])
+                [pa.array(ids, b.column(id_col).type)]
+                + [pa.array(sigs[:, i]) for i in range(n_hashes)],
+                names=[id_col] + [f"mh_{i}" for i in range(n_hashes)])
 
-    sh = df.select(id_col, text_col).mapInArrow(
-        sh_build, f"{id_col} {id_dt}, h long"
-    )
-    aggs = [
-        F.min(
-            F.pmod(
-                F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]),
-                F.lit(MINHASH_P),
-            )
-        ).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    schema = f"{id_col} {id_dt}, " + ", ".join(
+        f"mh_{i} long" for i in range(n_hashes))
+    return df.select(id_col, text_col).mapInArrow(sig_build, schema)
 
 
 def minhash_bands_agg(df: DataFrame, text_col: str = "text",

@@ -109,17 +109,17 @@ def test_bloom_no_false_negatives_and_exact_positions(spark):
 
 
 def test_bloom_prune_plan_has_no_probe_shuffle(spark):
-    # literal position table (what a reused/materialized filter is):
-    # the whole pruned plan must then contain ZERO shuffle exchanges —
-    # k broadcast-hash left joins over the scan, nothing else
+    # the filter is folded into a plan-time bitmap literal: the pruned
+    # plan must contain ZERO exchanges and ZERO joins — one codegen
+    # projection over the probe scan, nothing else
     pos = sorted({_pos(x, i, 256) for x in range(50) for i in range(3)})
     bloom = spark.createDataFrame([(p,) for p in pos], "pos int")
     probe = spark.range(1000).withColumnRenamed("id", "key")
     plan = bloom_prune(probe, "key", bloom, m_bits=256, k=3) \
         ._jdf.queryExecution().executedPlan().toString()
     import re
-    assert not re.search(r"Exchange hashpartitioning", plan), plan
-    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert not re.search(r"Exchange", plan), plan
+    assert "Join" not in plan, plan
 
 
 # ------------------------------------------------------------ lexical stats
