@@ -324,6 +324,16 @@ NAV_MENU_RE = re.compile(NAV_MENU_PAT, re.ASCII)
 LINK_TOKEN_RE = re.compile(LINK_TOKEN_PAT, re.ASCII)
 CONTACT_LINE_RE = re.compile(CONTACT_LINE_PAT, re.ASCII)
 
+# Short-circuit gates for the per-span classify hot loop (extraction
+# headline): each gate is IMPLIED by its full pattern — every
+# CONTACT_LINE_RE alternative requires an '@', a digit, or a
+# linkedin/github domain; every LINK_TOKEN_RE alternative requires a
+# '.' or '://'. A gate miss therefore proves the full regex cannot
+# match, and the (much costlier) alternation scan is skipped for the
+# dominant plain-prose case. Values are unchanged by construction —
+# pinned by tests/test_classify_property.py over the full span corpus.
+CONTACT_GATE_RE = re.compile(r"[@0-9]|linkedin\.com|github\.com", re.I)
+
 LINK_DENSITY_THRESHOLD = 0.5
 LINK_DENSITY_MIN_TOKENS = 3
 
@@ -353,18 +363,19 @@ def classify_span(kind: str, text: str, media_ref: Optional[str]) -> str:
     if not text or not text.strip():
         return "boilerplate"
     stripped = text.strip()
-    if CONTACT_LINE_RE.search(stripped):
+    if CONTACT_GATE_RE.search(stripped) and CONTACT_LINE_RE.search(stripped):
         return "content"
     if PAGE_FURNITURE_RE.match(stripped):
         return "boilerplate"
     if NAV_MENU_RE.match(stripped):
         return "boilerplate"
-    tokens = stripped.split()
-    if (
-        len(tokens) >= LINK_DENSITY_MIN_TOKENS
-        and link_density(stripped) > LINK_DENSITY_THRESHOLD
-    ):
-        return "boilerplate"
+    if "." in stripped or "://" in stripped:
+        tokens = stripped.split()
+        if (
+            len(tokens) >= LINK_DENSITY_MIN_TOKENS
+            and link_density(stripped) > LINK_DENSITY_THRESHOLD
+        ):
+            return "boilerplate"
     return "content"
 
 
@@ -1007,6 +1018,14 @@ COMPANY_SUFFIXES = ("Inc|Incorporated", "Corp|Corporation", "Co|Company",
 INSTITUTION_INDICATORS = ("university", "college", "institute", "school")
 
 SKILL_CATEGORY_LABELS = ("Languages", "Tools", "Frameworks", "Libraries")
+# precompiled hot-loop patterns (identical semantics to the former
+# per-call re.sub/fullmatch string forms; values pinned by the golden
+# extraction suite)
+_SKILL_LABEL_RES = tuple(
+    re.compile(f"^{label}:\\s*") for label in SKILL_CATEGORY_LABELS
+)
+_PARENTHETICAL_RE = re.compile(r"\([^)]*\)")
+_PURE_DIGITS_RE = re.compile(r"\d+", re.ASCII)
 
 
 def extract_contact(contact_text: str) -> dict[str, Optional[str]]:
@@ -1069,9 +1088,9 @@ def normalize_skill(
         if hit is not None or skill in memo:
             return hit
         original = skill
-    for label in SKILL_CATEGORY_LABELS:
-        skill = re.sub(f"^{label}:\\s*", "", skill)
-    skill = re.sub(r"\([^)]*\)", "", skill).strip()
+    for pat in _SKILL_LABEL_RES:
+        skill = pat.sub("", skill)
+    skill = _PARENTHETICAL_RE.sub("", skill).strip()
     low = skill.lower()
     if low in lower_index:
         hit = lower_index[low]
@@ -1107,7 +1126,7 @@ def extract_skills(
     for phrase in phrases:
         # ASCII-digit check (not str.isdigit(), which also accepts Unicode
         # Nd/No chars the JVM twin's \d never matches — parity contract).
-        if len(phrase) <= 1 or re.fullmatch(r"\d+", phrase, re.ASCII):
+        if len(phrase) <= 1 or _PURE_DIGITS_RE.fullmatch(phrase):
             continue
         norm = normalize_skill(
             phrase, lower_index, variant_to_canonical, index, threshold,
