@@ -48,7 +48,8 @@ def range_join(points: DataFrame, intervals: DataFrame,
                on: Sequence[str], point_col: str,
                start_col: str, end_col: str,
                bucket_width: int | float,
-               max_buckets: int = 64) -> DataFrame:
+               max_buckets: int = 64,
+               on_truncate: str = "allow") -> DataFrame:
     """Inner range join: every (point, interval) pair with equal `on`
     keys and start_col <= point_col < end_col (half-open, the SQL
     `ts >= start AND ts < end` contract).
@@ -58,19 +59,35 @@ def range_join(points: DataFrame, intervals: DataFrame,
     `bucket_width` is the equi-join granule; intervals spanning more
     than `max_buckets` granules are truncated to their first
     `max_buckets` (defensive flood cap — size W so real intervals fit).
+    `on_truncate='error'` makes the cap loud instead: any interval
+    wider than the cap horizon fails the job (use when silent match
+    loss is unacceptable at a new call site).
     Output: all point columns + all interval columns (keys appear once,
     from the point side).
     """
+    assert on_truncate in ("allow", "error")
     on = list(on)
     w = F.lit(bucket_width)
     # Half-open end: an interval ending exactly on a bucket boundary
-    # does not cover that bucket (no point < end lives there).
+    # does not cover that bucket (no point < end lives there). Derived
+    # type-independently (floor(end/W), stepped back one bucket when
+    # end is an exact multiple) — the former `end - 1` integer form
+    # silently dropped the last bucket when fractional end values met
+    # an integer bucket_width; identical on all-integer inputs.
     first_b = F.floor(F.col(start_col) / w)
-    last_b = F.floor(
-        (F.col(end_col) - F.lit(1e-9)) / w
-        if isinstance(bucket_width, float)
-        else (F.col(end_col) - F.lit(1)) / w
-    )
+    last_b = F.floor(F.col(end_col) / w) - F.when(
+        F.col(end_col) % w == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    if on_truncate == "error":
+        last_b = F.when(
+            last_b - first_b >= F.lit(max_buckets),
+            F.raise_error(F.concat(
+                F.lit("range_join: interval wider than max_buckets * "
+                      "bucket_width at "),
+                F.col(start_col).cast("string"), F.lit(".."),
+                F.col(end_col).cast("string"),
+            )),
+        ).otherwise(last_b)
     last_b = F.least(last_b, first_b + F.lit(max_buckets - 1))
     iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_rj_bucket", F.explode(F.sequence(first_b, last_b))

@@ -311,6 +311,19 @@ def funnel_stream(events: DataFrame, stages,
     over the same events (replay-equality pinned in
     tests/test_streaming.py).
 
+    DELIVERY CONTRACT (ADVICE r5, explicit): stage timestamps are
+    greedy-immutable — an earlier-timestamped event arriving in a LATER
+    micro-batch cannot lower an already-set stage, so batch parity
+    holds only when each user's events arrive in event-time order
+    ACROSS micro-batches (within a batch they are sorted here). The
+    watermark bounds state retention; it does not reorder late data.
+    Feed from an ordered log (per-user-keyed Kafka partitions or a
+    sorted replay) or accept frontier-of-arrival-order semantics.
+    Timestamps exactly at the epoch (0 ns) are indistinguishable from
+    the unset sentinel and cannot set a stage — real feeds start after
+    1970 by many years; a nullable state column would lift both
+    limits and is the documented upgrade path.
+
     Scale shape: state is n_stages longs per user sharded by user_id
     across executors; events cross one exchange (the groupBy) and are
     never buffered beyond the in-flight micro-batch.

@@ -154,3 +154,40 @@ def test_lexical_stats_zero_token_doc(spark):
     out = {r.doc_id: r for r in lexical_stats(d).collect()}
     assert out[2].n_tokens == 0 and out[2].entropy is None
     assert out[1].n_tokens == 3 and out[1].n_types == 2
+
+
+def test_range_join_fractional_end_integer_width(spark):
+    # ADVICE r5: fractional end values with an integer bucket_width used
+    # to drop the bucket containing [end-1, end) — a point at 10.2 in
+    # [3.0, 10.5) must match with W=5 even though floor((10.5-1)/5)=1
+    p = spark.createDataFrame([(1, 1, 10.2)], "k int, pid int, t double")
+    iv = spark.createDataFrame([(1, 9, 3.0, 10.5)],
+                               "k int, iid int, s double, e double")
+    got = range_join(p, iv, on=["k"], point_col="t", start_col="s",
+                     end_col="e", bucket_width=5).collect()
+    assert [(r.pid, r.iid) for r in got] == [(1, 9)]
+    # half-open boundary unchanged: point exactly at end never matches
+    p2 = spark.createDataFrame([(1, 2, 10.5)], "k int, pid int, t double")
+    assert range_join(p2, iv, on=["k"], point_col="t", start_col="s",
+                      end_col="e", bucket_width=5).count() == 0
+
+
+def test_range_join_on_truncate_error(spark):
+    p = spark.createDataFrame([(1, 1, 50)], "k int, pid int, t long")
+    giant = spark.createDataFrame([(1, 9, 0, 10_000_000)],
+                                  "k int, iid int, s long, e long")
+    ok = spark.createDataFrame([(1, 8, 0, 900)],
+                               "k int, iid int, s long, e long")
+    # allow (default): silently capped, job completes
+    range_join(p, giant, on=["k"], point_col="t", start_col="s",
+               end_col="e", bucket_width=900).count()
+    # error: the giant interval fails the job loudly
+    import pytest as _pt
+    with _pt.raises(Exception, match="wider than max_buckets"):
+        range_join(p, giant, on=["k"], point_col="t", start_col="s",
+                   end_col="e", bucket_width=900,
+                   on_truncate="error").count()
+    # error mode with in-bounds intervals is a no-op
+    assert range_join(p, ok, on=["k"], point_col="t", start_col="s",
+                      end_col="e", bucket_width=900,
+                      on_truncate="error").count() == 1
