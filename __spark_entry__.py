@@ -62,9 +62,13 @@ def _docs(spark: SparkSession, sf_dir: str,
           spread: bool = True) -> DataFrame:
     """documents reader. spread=True (default) applies the §2.5 fix —
     right for every query with heavy per-row work (tokenizer passes,
-    regex, hashing). Pass spread=False for scan+aggregate queries whose
-    per-row work is lighter than an exchange (measured: mixture_sample,
-    weighted_sample, quantile_sketch each ~2x worse with the spread)."""
+    regex, hashing). Pass spread=False for queries whose per-row work
+    is lighter than an exchange + 32-task scheduling (measured at BOTH
+    sf0.1 and the 10x dir: mixture/weighted/quantile ~2x worse with
+    the spread; pagerank/triangle derive tiny edge lists from doc_id
+    only; eval_metrics/token_histogram/strip_boilerplate/
+    skill_normalize_join/hll_distinct flat at 10x and ~2x worse at
+    sf0.1)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _spread(df, spark) if spread else df
 
@@ -176,7 +180,7 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 histogram: count by (lang, token)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     toks = d.select(
         "lang",
         F.explode(
@@ -211,7 +215,7 @@ def _q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a corpus with synthetic duplicates (doc ∪ doc+10^6)."""
     from document_parser_private_spark.operators.dedup import exact_dedup
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     dup = d.union(
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
@@ -260,7 +264,7 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/J4: per-source micro P/R/F1 of doc token sets vs the source's
     min-doc token set as ground truth."""
     from document_parser_private_spark.operators.metrics import evaluation_metrics
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     toks = d.select(
         "doc_id", "source",
         F.array_distinct(
@@ -500,7 +504,7 @@ def _q_skill_normalize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.normalize import (
         normalize_skills_join,
     )
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id", _sample_col(_SKILLS_SAMPLES).alias("skills_text")
     )
     out = normalize_skills_join(d, fuzzy=False)
@@ -908,7 +912,7 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5/conv/bin register math runs per DISTINCT value instead of
     # per token instance (2.75M -> vocab-bounded rows at 50k docs) and
     # the corpus is tokenized once, not once per branch (PLANS.md §21).
-    tok = _docs(spark, sf_dir).select(
+    tok = _docs(spark, sf_dir, spread=False).select(
         "source",
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
@@ -1091,7 +1095,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is exercised). DuckDB twin unrolls the same 5 iterations as
     a CTE chain — full hash oracle for an iterative algorithm."""
     from document_parser_private_spark.operators.graph import pagerank
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id")
     n = d.count()
     src = d.where(F.pmod(F.col("doc_id"), F.lit(11)) != 0)
     edges = src.select(
@@ -1168,7 +1172,7 @@ def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.curation import (
         strip_boilerplate,
     )
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1310,7 +1314,7 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.graph import (
         triangle_count,
     )
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id")
     n = d.count()
     edges = d.select(
         F.col("doc_id").alias("src"),
