@@ -993,7 +993,7 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     back and summed per doc. The twin replays the identical merge loop
     with a recursive CTE over ranks (same trick as pack_sequences)."""
     from document_parser_private_spark.operators.bpe import bpe_token_counts
-    return bpe_token_counts(_docs(spark, sf_dir)).select(
+    return bpe_token_counts(_docs(spark, sf_dir, spread=False)).select(
         "doc_id", "n_words", "n_bpe"
     )
 
@@ -1019,7 +1019,7 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.ranking import (
         inverted_index,
     )
-    return inverted_index(_docs(spark, sf_dir), min_df=5, max_postings=20)
+    return inverted_index(_docs(spark, sf_dir, spread=False), min_df=5, max_postings=20)
 
 
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,7 +1027,7 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train add-0.5 smoothed bigram model on documents, score each doc's
     mean bigram log-prob + pseudo-perplexity."""
     from document_parser_private_spark.operators.lm import lm_score
-    return lm_score(_docs(spark, sf_dir))
+    return lm_score(_docs(spark, sf_dir, spread=False))
 
 
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,7 +1199,7 @@ def _q_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.ranking import (
         bm25_top_terms,
     )
-    return bm25_top_terms(_docs(spark, sf_dir), k=3)
+    return bm25_top_terms(_docs(spark, sf_dir, spread=False), k=3)
 
 
 def _q_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:

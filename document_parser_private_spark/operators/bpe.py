@@ -149,17 +149,23 @@ def bpe_token_counts(df: DataFrame,
     sums per doc. The vocab side of that join is small by Heaps' law —
     broadcastable at any corpus size that fits a real vocabulary."""
     merges = list(merges if merges is not None else DEFAULT_MERGES)
-    # (doc, word, occ) rides the shared mapInArrow tokenizer+counter
-    # (textstats._word_count_rows_arrow, guide §4.2) — replaces the JVM
-    # regexp explode + groupBy(doc, word) hash agg, counts identical by
-    # construction; case folding stays native upstream.
-    from .textstats import _word_count_rows_arrow
-    doc_words = _word_count_rows_arrow(
-        df.select(F.col(id_col),
-                  F.lower(F.col(text_col)).alias("_t")),
-        id_col, "_t",
-    ).select(F.col(id_col), F.col("token").alias("word"),
-             F.col("cnt").alias("occ"))
+    # The JVM explode+groupBy form is kept deliberately: an interleaved
+    # A/B against the shared Arrow counter at sf0.1 AND the 10x timing
+    # dir showed the Arrow pass cost-neutral per row here (the encode
+    # fold over the distinct vocab dominates, not tokenization), so the
+    # JVM form wins wherever the scan is already parallel and ties
+    # elsewhere (OPTIMIZATION_r06.md).
+    doc_words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)),
+                                     F.lit(WORD_RE), F.lit(0))
+            ).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
     vocab = bpe_encode_words(doc_words.select("word").distinct(), merges)
     return (
         doc_words.join(F.broadcast(vocab.select("word", "n_bpe")), "word")
