@@ -241,7 +241,7 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket_col passed EXPLICITLY: the library default is the LSH-bounded
     path; this query pins the bucketed formulation + its oracle)."""
     from document_parser_private_spark.operators.dedup import jaccard_pairs
-    return jaccard_pairs(_docs(spark, sf_dir), bucket_col="source",
+    return jaccard_pairs(_docs(spark, sf_dir, spread=False), bucket_col="source",
                          threshold=0.5)
 
 
@@ -629,7 +629,7 @@ def _q_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.dedup import (
         jaccard_on_candidates,
     )
-    return jaccard_on_candidates(_docs(spark, sf_dir))
+    return jaccard_on_candidates(_docs(spark, sf_dir, spread=False))
 
 
 # Deterministic (pred, truth) text pairs exercising every token_set_ratio
@@ -681,7 +681,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the same graph and resolves components with a recursive
     reachability CTE."""
     from document_parser_private_spark.operators.dedup import dedup_clusters
-    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    return dedup_clusters(_docs(spark, sf_dir, spread=False), threshold=0.5)
 
 
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,7 +689,7 @@ def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> distinct candidate pairs. The shuffle carries only (doc_id,
     band_idx, band_key) — never text or shingles."""
     from document_parser_private_spark.operators.dedup import minhash_candidates
-    return minhash_candidates(_docs(spark, sf_dir))
+    return minhash_candidates(_docs(spark, sf_dir, spread=False))
 
 
 def _q_layout_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,7 +887,7 @@ def _q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.dedup import (
         cross_corpus_dedup,
     )
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     new = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     ref = d.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0) \
         .select("doc_id", "text")
@@ -1340,7 +1340,7 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_parser_private_spark.operators.trainprep import (
         cluster_split,
     )
-    clusters = dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    clusters = dedup_clusters(_docs(spark, sf_dir, spread=False), threshold=0.5)
     return cluster_split(clusters, val_frac=0.1)
 
 
