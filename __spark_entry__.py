@@ -1359,57 +1359,13 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order is deliberate (r5 VERDICT #1): the external harness records
+    # correctness rows for a bounded prefix of this dict, and the first
+    # 24 keys below had only local-oracle evidence for two rounds; they
+    # rotate to the front, followed by a representative core of the
+    # pipeline/dedup/similarity queries. All 74 remain declared and
+    # locally verified at three SFs (tools/check_oracle.py).
     return {
-        "contact_extract": _q_contact_extract,
-        "summary_trunc": _q_summary_trunc,
-        "textstats": _q_textstats,
-        "token_histogram": _q_token_histogram,
-        "dominant_token": _q_dominant_token,
-        "distinct_sources": _q_distinct_sources,
-        "exact_dedup": _q_exact_dedup,
-        "minhash": _q_minhash,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "near_dup_embeddings": _q_near_dup_embeddings,
-        "cosine_topk": _q_cosine_topk,
-        "lsh_buckets": _q_lsh_buckets,
-        "eval_metrics": _q_eval_metrics,
-        "lineitem_agg": _q_lineitem_agg,
-        "order_month_span": _q_order_month_span,
-        "top_customers": _q_top_customers,
-        "region_revenue": _q_region_revenue,
-        "events_by_type": _q_events_by_type,
-        "event_sessions": _q_event_sessions,
-        "pii_hash": _q_pii_hash,
-        "degree_expansion": _q_degree_expansion,
-        "title_expansion": _q_title_expansion,
-        "date_parse": _q_date_parse,
-        "gpa_extract": _q_gpa_extract,
-        "pii_mask": _q_pii_mask,
-        "event_windows": _q_event_windows,
-        "simhash": _q_simhash,
-        "ann_topk": _q_ann_topk,
-        "ivf_topk": _q_ivf_topk,
-        "fuzzy_eval": _q_fuzzy_eval,
-        "resume_entities": _q_resume_entities,
-        "skill_fuzzy_join": _q_skill_fuzzy_join,
-        "minhash_candidates": _q_minhash_candidates,
-        "jaccard_on_candidates": _q_jaccard_on_candidates,
-        "dedup_clusters": _q_dedup_clusters,
-        "skill_normalize_join": _q_skill_normalize_join,
-        "pii_anonymize": _q_pii_anonymize,
-        "pii_mask_text": _q_pii_mask_text,
-        "layout_order": _q_layout_order,
-        "ner_entities": _q_ner_entities,
-        "quality_filter": _q_quality_filter,
-        "stratified_sample": _q_stratified_sample,
-        "cluster_representatives": _q_cluster_representatives,
-        "repetition_stats": _q_repetition_stats,
-        "decontaminate": _q_decontaminate,
-        "chunk_documents": _q_chunk_documents,
-        "event_asof": _q_event_asof,
-        "semantic_dedup": _q_semantic_dedup,
-        "cross_corpus_dedup": _q_cross_corpus_dedup,
-        "hll_distinct": _q_hll_distinct,
         "bm25_terms": _q_bm25_terms,
         "strip_boilerplate": _q_strip_boilerplate,
         "revenue_rollup": _q_revenue_rollup,
@@ -1434,6 +1390,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": _q_cluster_split,
         "cohort_retention": _q_cohort_retention,
         "substring_dedup": _q_substring_dedup,
+        "contact_extract": _q_contact_extract,
+        "textstats": _q_textstats,
+        "resume_entities": _q_resume_entities,
+        "skill_fuzzy_join": _q_skill_fuzzy_join,
+        "layout_order": _q_layout_order,
+        "ner_entities": _q_ner_entities,
+        "pii_anonymize": _q_pii_anonymize,
+        "exact_dedup": _q_exact_dedup,
+        "minhash": _q_minhash,
+        "minhash_candidates": _q_minhash_candidates,
+        "jaccard_on_candidates": _q_jaccard_on_candidates,
+        "dedup_clusters": _q_dedup_clusters,
+        "semantic_dedup": _q_semantic_dedup,
+        "cross_corpus_dedup": _q_cross_corpus_dedup,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
+        "ann_topk": _q_ann_topk,
+        "lsh_buckets": _q_lsh_buckets,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "hll_distinct": _q_hll_distinct,
+        "eval_metrics": _q_eval_metrics,
+        "event_sessions": _q_event_sessions,
+        "event_windows": _q_event_windows,
+        "quality_filter": _q_quality_filter,
+        "stratified_sample": _q_stratified_sample,
+        "summary_trunc": _q_summary_trunc,
+        "token_histogram": _q_token_histogram,
+        "dominant_token": _q_dominant_token,
+        "distinct_sources": _q_distinct_sources,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "lineitem_agg": _q_lineitem_agg,
+        "order_month_span": _q_order_month_span,
+        "top_customers": _q_top_customers,
+        "region_revenue": _q_region_revenue,
+        "events_by_type": _q_events_by_type,
+        "pii_hash": _q_pii_hash,
+        "degree_expansion": _q_degree_expansion,
+        "title_expansion": _q_title_expansion,
+        "date_parse": _q_date_parse,
+        "gpa_extract": _q_gpa_extract,
+        "pii_mask": _q_pii_mask,
+        "fuzzy_eval": _q_fuzzy_eval,
+        "skill_normalize_join": _q_skill_normalize_join,
+        "pii_mask_text": _q_pii_mask_text,
+        "cluster_representatives": _q_cluster_representatives,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
+        "chunk_documents": _q_chunk_documents,
+        "event_asof": _q_event_asof,
     }
 
 
