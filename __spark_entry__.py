@@ -954,12 +954,17 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     sketch = count_min_sketch(tok, "token")
-    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    # exact feeds top, which feeds BOTH the estimate probe and the
+    # final join — without the persist the whole token-count subtree
+    # re-derives per reference (PLANS.md §21; this query audited at 6
+    # corpus scans, now 2: one for the sketch, one for exact counts).
+    exact = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact")).persist()
     top = exact.orderBy(F.desc("exact"), F.asc("token")).limit(20)
     est = cm_estimate(
         sketch, top.select(F.col("token").alias("item")), "item"
     )
-    return (
+    out = (
         top.join(est, top.token == est.item)
         .select(
             "token",
@@ -970,6 +975,11 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    try:
+        out = out.localCheckpoint()
+    finally:
+        exact.unpersist()
+    return out
 
 
 def _q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
