@@ -272,6 +272,12 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entities"),
     )
     w = Window.partitionBy("source").orderBy("doc_id")
+    # NOTE (r6): the 4-scan fan-out here was A/B-tested against the
+    # persist+checkpoint pattern and the persist LOSES (1.5 vs 2.2-3.2 s
+    # at 50k docs): materializing the joined wide entity arrays costs
+    # more than re-deriving the cheap narrow subtree — the §21 pattern
+    # pays off only when the recomputed subtree is expensive relative
+    # to its materialized size.
     truth = (
         toks.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -830,9 +836,11 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
     d = _docs(spark, sf_dir)
-    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
-        F.substring("text", 41, 400).alias("text")
-    )
+    # the benchmark slice keeps 1/97th of the docs — read it unspread
+    # so it doesn't pay the corpus-side spread exchange a second time
+    bench = _docs(spark, sf_dir, spread=False).where(
+        F.pmod(F.col("doc_id"), F.lit(97)) == 0
+    ).select(F.substring("text", 41, 400).alias("text"))
     out = decontaminate(d, bench, n=8)
     return out.select(
         "doc_id", "n_hits",

@@ -62,13 +62,92 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
       top_bigram_frac     — occurrences(top_bigram) / total bigrams
 
     Docs with no non-empty lines get zeros ('' for top_bigram).
+
+    ONE mapInArrow pass (r6): every signal is per-doc and the counts
+    are integers, so line Counters, bigram Counters and the argmax all
+    ride the same batch crossing — the previous shape was 3 corpus
+    scans (lines branch, grams branch, base join — no cross-branch
+    CSE, PLANS.md §21/§23) with 2 grouped exchanges and 2 joins.
+    Value contracts preserved exactly: split on '\\n' only (not
+    splitlines), char counts via len() == Spark length(), the bigram
+    tie-break compares UTF-8 byte order == Python code-point order,
+    and the three round(…, 6) calls replicate Spark's
+    Round(HALF_UP over BigDecimal.valueOf) via Decimal(repr(x)) — the
+    same contract the textstats batch pass pins.
     """
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def build(batches):
+        import re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pyarrow as pa
+
+        tok_re = re.compile(r"[^\x09-\x0d\x20]+")
+        q6 = Decimal("0.000001")
+
+        def round6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            o_nl: list[int] = []
+            o_dlf: list[float] = []
+            o_dlcf: list[float] = []
+            o_tb: list[str] = []
+            o_tbf: list[float] = []
+            for tx in texts:
+                lines = Counter(
+                    ln for ln in (tx or "").split("\n") if ln)
+                n_lines = sum(lines.values())
+                n_distinct = len(lines)
+                chars_all = sum(c * len(ln) for ln, c in lines.items())
+                chars_distinct = sum(len(ln) for ln in lines)
+                t = tok_re.findall(tx or "")
+                bg = Counter(zip(t, t[1:]))
+                n_bigrams = sum(bg.values())
+                if bg:
+                    neg, (w1, w2) = min(
+                        (-c, g) for g, c in bg.items())
+                    top_bigram, top_cnt = f"{w1} {w2}", -neg
+                else:
+                    top_bigram, top_cnt = "", 0
+                o_nl.append(n_lines)
+                o_dlf.append(round6(
+                    float(n_lines - n_distinct) / max(float(n_lines), 1.0)))
+                o_dlcf.append(round6(
+                    (float(chars_all) - chars_distinct)
+                    / max(float(chars_all), 1.0)))
+                o_tb.append(top_bigram)
+                o_tbf.append(round6(
+                    float(top_cnt) / max(float(n_bigrams), 1.0)))
+            yield pa.record_batch(
+                [pa.array(ids, b.column(id_col).type),
+                 pa.array(o_nl, pa.int64()),
+                 pa.array(o_dlf, pa.float64()),
+                 pa.array(o_dlcf, pa.float64()),
+                 pa.array(o_tb, pa.string()),
+                 pa.array(o_tbf, pa.float64())],
+                names=[id_col, "n_lines", "dup_line_frac",
+                       "dup_line_char_frac", "top_bigram",
+                       "top_bigram_frac"])
+
+    return df.select(id_col, text_col).mapInArrow(
+        build,
+        f"{id_col} {id_dt}, n_lines long, dup_line_frac double, "
+        "dup_line_char_frac double, top_bigram string, "
+        "top_bigram_frac double",
+    )
+
+
+def _repetition_stats_agg_form(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """The pre-r6 relational formulation, kept as the parity reference
+    for tests/test_batch_builders.py (same values by construction)."""
     did = F.col(id_col)
     t = F.col(text_col)
-
-    # --- duplicate-line signals: explode non-empty lines, count per
-    # (doc, line), then per-doc sums. Both groupBys partially aggregate
-    # map-side; keys are doc_id-prefixed so no skew beyond doc skew.
     lines = df.select(
         did,
         F.explode(
@@ -84,11 +163,6 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.sum(F.col("cnt") * F.length("line")).alias("chars_all"),
         F.sum(F.length("line")).alias("chars_distinct"),
     )
-
-    # --- top-bigram signal: bigram rows via the shared mapInArrow
-    # builder (the interpreted per-gram HOF was the hot half of this
-    # operator — PLANS.md §5), count per (doc, gram), argmax via
-    # min(struct(-cnt, gram)).
     grams = _ngram_rows_arrow(
         df.select(id_col, text_col), 2, id_col, text_col, hashed=False,
     )

@@ -139,3 +139,24 @@ def test_lm_self_scoring_matches_explicit_train(spark, text_docs):
     a = {tuple(r) for r in lm_score(d).collect()}
     b = {tuple(r) for r in lm_score(d, train=d).collect()}
     assert a == b
+
+
+def test_repetition_stats_matches_agg_form(spark, tricky_df, text_docs):
+    """The one-pass Arrow repetition_stats must equal the relational
+    lines/grams/join formulation it replaced — including round-6
+    HALF_UP fractions, the tie-broken top bigram, and empty docs."""
+    from document_parser_private_spark.operators.trainprep import (
+        _repetition_stats_agg_form,
+        repetition_stats,
+    )
+
+    extra = spark.createDataFrame(
+        [(100, "dup line\ndup line\nuniq\n\ndup line"),
+         (101, "a b a b a b"),
+         (102, "x y\nx y\nx y"),
+         (103, "één twee één twee")],
+        "doc_id long, text string")
+    for df in (tricky_df, text_docs, extra):
+        got = sorted(map(tuple, repetition_stats(df).collect()))
+        want = sorted(map(tuple, _repetition_stats_agg_form(df).collect()))
+        assert got == want
