@@ -243,7 +243,33 @@ def extract_all_fused_op(df: DataFrame, spans_col: str = "spans",
 
         for b in batches:
             ids = b.column(id_col).to_pylist()
-            spans_in = b.column(spans_col).to_pylist()
+            # span decode via FLAT child arrays: one to_pylist per
+            # primitive child + one C-speed zip, then per-doc slices of
+            # the flat dict list — measured 226 -> 80 us/doc vs
+            # ListArray.to_pylist's nested dict materialization (~12%
+            # of the whole warm per-doc budget). Null spans rows keep
+            # the None contract via the validity bitmap.
+            sc = b.column(spans_col)
+            sv = sc.values
+            flat = [
+                {"kind": k, "text": tx, "media_ref": m, "offset": o}
+                for k, tx, m, o in zip(
+                    sv.field("kind").to_pylist(),
+                    sv.field("text").to_pylist(),
+                    sv.field("media_ref").to_pylist(),
+                    sv.field("offset").to_pylist(),
+                )
+            ]
+            offs = sc.offsets.to_pylist()
+            if sc.null_count:
+                valid = [v.is_valid for v in sc]
+                spans_in = [
+                    flat[offs[i]:offs[i + 1]] if valid[i] else None
+                    for i in range(len(sc))
+                ]
+            else:
+                spans_in = [flat[offs[i]:offs[i + 1]]
+                            for i in range(len(sc))]
             cols: dict[str, list] = {f.name: [] for f in out_type.fields}
             for did, arr in zip(ids, spans_in):
                 if arr is None:
