@@ -273,11 +273,16 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     # driver's value-hash gate holds at any scale, not just when no
     # bucket happens to exceed the cap.
     fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+    # reps feeds BOTH the dup-star join and the banding pass — persist
+    # the collapsed representative table (bounded by distinct texts) so
+    # its corpus-scan+md5+agg subtree runs once, not per reference
+    # (PLANS.md §21); released after the eager checkpoint below.
     reps = (
         df.select(F.col(id_col), F.col(text_col),
                   F.md5(F.col(text_col)).alias("_fp"))
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .persist()
     )
     dup_star = (
         fp.join(reps.select(F.col(id_col).alias("_rep"), "_fp"), "_fp")
@@ -307,7 +312,12 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return bucket_pairs.unionByName(dup_star)
+    out = bucket_pairs.unionByName(dup_star)
+    try:
+        out = out.localCheckpoint()
+    finally:
+        reps.unpersist()
+    return out
 
 
 def jaccard_token_col(a: Column, b: Column) -> Column:

@@ -38,7 +38,7 @@ SCAN_CEILINGS = {
     "textstats": 2,
     "simhash": 2,
     "minhash": 2,
-    "minhash_candidates": 4,
+    "minhash_candidates": 0,  # r6: reps persisted, result checkpointed
     "repetition_stats": 4,
     "decontaminate": 4,
     "ivf_topk": 3,
